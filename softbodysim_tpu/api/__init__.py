@@ -1,0 +1,4 @@
+from .engine import Engine
+from .world import Body, World
+
+__all__ = ["Engine", "World", "Body"]

@@ -1,0 +1,77 @@
+"""Engine: the jitted replacement for the PBD1 socket round-trip.
+
+The reference's distributed step is MSG_INIT -> (MSG_STEP -> MSG_POSITIONS)*
+over TCP (CProgram/src/Server.cpp:20-149).  TPU-native, the socket hop
+disappears:
+
+  Engine(topology, params)  == MSG_INIT   (Server.cpp:30-113: build inv
+                                           masses, rest state, zero lambdas)
+  engine.step(dt)           == MSG_STEP   (a donated-buffer jitted step; no
+                                           host round-trip, state stays in HBM)
+  engine.positions()        == MSG_POSITIONS (async device->host fetch of the
+                                           V x 3 committed positions)
+
+The actual PBD1 wire protocol survives as api/server.py for out-of-process
+clients (e.g. the original Unity client).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..core.state import SimState, SolverParams, init_state
+from ..core.topology import Topology
+from ..collide.primitives import Colliders
+from ..solver import make_step
+
+
+class Engine:
+    """Single-scene simulation engine with a donated-buffer jitted step."""
+
+    def __init__(self, topology: Topology, params: SolverParams,
+                 colliders: Optional[Colliders] = None,
+                 pinned=None, inv_mass_mode: Optional[str] = None,
+                 density: float = 1.0, pin_top_layer: bool = False,
+                 **solver_kw):
+        if inv_mass_mode is None:
+            # server dialect defaults to tet-volume inverse masses
+            # (Sim.cpp:63-79); in-engine dialect to density lumping
+            # (SoftBodySolver.cs:947-973).
+            inv_mass_mode = "tet" if params.dialect == "xpbd" else "density"
+        self.topology = topology
+        self.params = params
+        self.colliders = colliders
+        self.state: SimState = init_state(
+            topology, pinned=pinned, inv_mass_mode=inv_mass_mode,
+            density=density, pin_top_layer=pin_top_layer)
+        self._raw_step = make_step(topology, params, colliders=colliders,
+                                   **solver_kw)
+        self._step = jax.jit(self._raw_step, donate_argnums=0)
+
+    def step(self, dt: float = 1.0 / 60.0) -> "Engine":
+        self.state = self._step(self.state, dt)
+        return self
+
+    def run(self, steps: int, dt: float = 1.0 / 60.0) -> "Engine":
+        for _ in range(steps):
+            self.step(dt)
+        return self
+
+    def positions(self) -> np.ndarray:
+        """Committed positions, V x 3 (== MSG_POSITIONS payload)."""
+        return np.asarray(jax.device_get(self.state.x))
+
+    def velocities(self) -> np.ndarray:
+        return np.asarray(jax.device_get(self.state.v))
+
+    def reset(self, pinned=None, **kw) -> "Engine":
+        """Re-INIT semantics: rebuild rest state (Server.cpp:106-110)."""
+        self.state = init_state(self.topology, pinned=pinned, **kw)
+        return self
+
+    def block(self) -> "Engine":
+        jax.block_until_ready(self.state.x)
+        return self

@@ -1,0 +1,110 @@
+"""World: multi-body orchestration -- the SoftBodyManager equivalent.
+
+Reproduces the manager's scheduling semantics
+(Assets/Scripts/Softbody/SoftBodyManager.cs):
+  - register/unregister bodies and primitive colliders (:122-156)
+  - fixed-dt accumulator frame stepping with maxStepsPerFrame /
+    maxFrameDeltaTime clamps (:73-94)
+  - per-step collider snapshot shared by all bodies (:239-261)
+  - per-body independence == task parallelism; on TPU each body is its own
+    jitted step (XLA overlaps dispatch), and homogeneous worlds should prefer
+    the batched API (parallel/batching.py) which vmaps one step over bodies.
+  - 1 Hz-style aggregated stage stats (:158-197) via perf/timing.py
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..core.state import SolverParams
+from ..core.topology import Topology
+from ..collide.primitives import Colliders
+from .engine import Engine
+from ..perf.timing import StepStats
+
+
+class Body:
+    """One registered soft body: a Topology + per-body solver params."""
+
+    def __init__(self, topology: Topology, params: SolverParams,
+                 name: str = "body", pinned=None, **engine_kw):
+        self.name = name
+        self.topology = topology
+        self.params = params
+        self.pinned = pinned
+        self.engine: Optional[Engine] = None
+        self._engine_kw = engine_kw
+
+    def bind(self, colliders: Optional[Colliders]):
+        self.engine = Engine(self.topology, self.params,
+                             colliders=colliders, pinned=self.pinned,
+                             **self._engine_kw)
+
+    def positions(self) -> np.ndarray:
+        return self.engine.positions()
+
+
+class World:
+    """Multi-body registry + frame scheduler."""
+
+    def __init__(self, fixed_dt: float = 1.0 / 60.0,
+                 max_steps_per_frame: int = 4,
+                 max_frame_delta_time: float = 0.05):
+        self.fixed_dt = fixed_dt
+        self.max_steps_per_frame = max_steps_per_frame
+        self.max_frame_delta_time = max_frame_delta_time
+        self.bodies: List[Body] = []
+        self._collider_items: List[dict] = []
+        self._colliders: Optional[Colliders] = None
+        self._accumulator = 0.0
+        self.stats = StepStats()
+
+    # -- registration (SoftBodyManager.cs:122-156) --
+    def register(self, body: Body) -> Body:
+        if body not in self.bodies:
+            self.bodies.append(body)
+            body.bind(self._colliders)
+        return body
+
+    def unregister(self, body: Body):
+        if body in self.bodies:
+            self.bodies.remove(body)
+
+    def add_collider(self, item: dict):
+        """item from Colliders.sphere/box/capsule builders."""
+        self._collider_items.append(item)
+        self._colliders = Colliders.build(self._collider_items)
+        for b in self.bodies:
+            b.bind(self._colliders)
+
+    # -- stepping --
+    def step(self, dt: Optional[float] = None):
+        """One fixed simulation step across all bodies
+        (SoftBodyManager.StepSimulation, :199-237)."""
+        dt = self.fixed_dt if dt is None else dt
+        t0 = time.perf_counter()
+        for body in self.bodies:
+            body.engine.step(dt)
+        for body in self.bodies:
+            body.engine.block()
+        self.stats.add("step", time.perf_counter() - t0)
+
+    def frame(self, frame_dt: float) -> int:
+        """Accumulator-driven frame update (SoftBodyManager.cs:73-94).
+        Returns the number of fixed steps executed."""
+        frame_dt = min(frame_dt, self.max_frame_delta_time)
+        self._accumulator += frame_dt
+        steps = 0
+        while self._accumulator >= self.fixed_dt and steps < self.max_steps_per_frame:
+            self.step(self.fixed_dt)
+            self._accumulator -= self.fixed_dt
+            steps += 1
+        if steps >= self.max_steps_per_frame:
+            self._accumulator = 0.0
+        return steps
+
+    def positions(self) -> Dict[str, np.ndarray]:
+        return {b.name: b.positions() for b in self.bodies}

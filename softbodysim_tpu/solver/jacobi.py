@@ -1,0 +1,232 @@
+"""Jacobi + SOR solver -- the Unity in-engine physics contract, TPU-native.
+
+Reference semantics (Assets/Scripts/Softbody/SoftBodySolver.cs, and its exact
+GPU twins in Assets/Shaders/SoftBodyCompute.compute:206-457):
+  PreSolveOne                SoftBodySolver.cs:349-362  (pinned: vel zeroed)
+  GatherEdgesForParticle     SoftBodySolver.cs:395-433  (lambda = -k * C / (wi+wj),
+                                                         contribution n*(lambda*wi))
+  GatherVolumesForParticle   SoftBodySolver.cs:451-519  (lambda = -k * C / wsum,
+                                                         role-gradient * lambda * wi)
+  ApplyDelta                 SoftBodySolver.cs:521-527  (x += (omega/cnt) * delta)
+  SolveCollisionsForParticle SoftBodySolver.cs:541-564  (world-space ground plane
+                                                         + sequential colliders)
+  PostSolveOne               SoftBodySolver.cs:364-377
+
+TPU redesign: the reference's per-particle CSR gather loops are re-expressed
+as per-constraint math + ``segment_sum`` scatter over endpoints -- numerically
+identical (each particle's delta is the sum of its incident constraints'
+contributions; summation order differs only within fp32 associativity) and
+E/T-proportional instead of sum-of-degrees, with no padded CSR rows.  This is
+the fully data-parallel "one color Jacobi" formulation BASELINE.json asks for;
+it is also the shape that vmaps cleanly over thousands of scenes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.state import SimState, SolverParams, tet_signed_volume
+from ..collide.primitives import (
+    Colliders, collide_particles, project_ground_plane)
+from .spatial import make_self_collision_fn
+
+
+def edge_jacobi_deltas(x_pred, inv_mass, edges, edge_rest, stiffness, nv):
+    """Per-particle (delta, count) from all distance constraints.
+
+    Per edge e=(a,b): w = wa + wb; skip w==0 or len^2 < 1e-18;
+    lambda = -k * (len - rest) / w; contribution to a is n*(lambda*wa), to b
+    -n*(lambda*wb); each valid incident edge bumps the endpoint's count.
+    (SoftBodySolver.cs:408-429)
+    """
+    a = edges[:, 0]
+    b = edges[:, 1]
+    wa = inv_mass[a]
+    wb = inv_mass[b]
+    w = wa + wb
+
+    d = x_pred[a] - x_pred[b]
+    len2 = jnp.sum(d * d, axis=-1)
+    valid = (w != 0.0) & (len2 >= 1e-18)
+
+    length = jnp.sqrt(jnp.maximum(len2, 1e-30))
+    c = length - edge_rest
+    n = d / length[:, None]
+    lam = jnp.where(valid, -stiffness * (c / jnp.where(w == 0.0, 1.0, w)), 0.0)
+
+    contrib_a = n * (lam * wa)[:, None]
+    contrib_b = -n * (lam * wb)[:, None]
+
+    delta = jax.ops.segment_sum(contrib_a, a, num_segments=nv)
+    delta = delta + jax.ops.segment_sum(contrib_b, b, num_segments=nv)
+    cnt = jax.ops.segment_sum(valid.astype(jnp.int32), a, num_segments=nv)
+    cnt = cnt + jax.ops.segment_sum(valid.astype(jnp.int32), b, num_segments=nv)
+    return delta, cnt
+
+
+def tet_jacobi_deltas(x_pred, inv_mass, tets, tet_rest_vol, stiffness, nv):
+    """Per-particle (delta, count) from all volume constraints
+    (SoftBodySolver.cs:461-515: per-role gradient * (lambda * w_role), count
+    bumps only for corners with w_role != 0)."""
+    a, b, c_, d_ = tets[:, 0], tets[:, 1], tets[:, 2], tets[:, 3]
+    wa, wb, wc, wd = inv_mass[a], inv_mass[b], inv_mass[c_], inv_mass[d_]
+
+    pa, pb, pc, pd = x_pred[a], x_pred[b], x_pred[c_], x_pred[d_]
+
+    ga = jnp.cross(pd - pb, pc - pb) / 6.0
+    gb = jnp.cross(pc - pa, pd - pa) / 6.0
+    gc = jnp.cross(pd - pa, pb - pa) / 6.0
+    gd = jnp.cross(pb - pa, pc - pa) / 6.0
+
+    wsum = (
+        wa * jnp.sum(ga * ga, -1)
+        + wb * jnp.sum(gb * gb, -1)
+        + wc * jnp.sum(gc * gc, -1)
+        + wd * jnp.sum(gd * gd, -1)
+    )
+    valid = ((wa + wb + wc + wd) != 0.0) & (wsum >= 1e-20)
+
+    vol = tet_signed_volume(pa, pb, pc, pd)
+    cfn = vol - tet_rest_vol
+    lam = jnp.where(
+        valid, -stiffness * (cfn / jnp.where(wsum == 0.0, 1.0, wsum)), 0.0)
+
+    delta = jax.ops.segment_sum(ga * (lam * wa)[:, None], a, num_segments=nv)
+    delta += jax.ops.segment_sum(gb * (lam * wb)[:, None], b, num_segments=nv)
+    delta += jax.ops.segment_sum(gc * (lam * wc)[:, None], c_, num_segments=nv)
+    delta += jax.ops.segment_sum(gd * (lam * wd)[:, None], d_, num_segments=nv)
+
+    def corner_cnt(idx, wcorner):
+        hit = (valid & (wcorner != 0.0)).astype(jnp.int32)
+        return jax.ops.segment_sum(hit, idx, num_segments=nv)
+
+    cnt = (corner_cnt(a, wa) + corner_cnt(b, wb)
+           + corner_cnt(c_, wc) + corner_cnt(d_, wd))
+    return delta, cnt
+
+
+def apply_delta(x_pred, inv_mass, delta, cnt, omega):
+    """x += (omega / cnt) * delta for free particles with cnt > 0
+    (SoftBodySolver.cs:521-527)."""
+    ok = (cnt > 0) & (inv_mass != 0.0)
+    scale = omega / jnp.maximum(cnt.astype(jnp.float32), 1.0)
+    return jnp.where(ok[:, None], x_pred + scale[:, None] * delta, x_pred)
+
+
+def make_jacobi_step(topology, params: SolverParams,
+                     colliders: Optional[Colliders] = None,
+                     local_to_world=None, world_to_local=None):
+    """Build ``step(state, dt) -> state`` implementing the full in-engine
+    substep orchestration (SoftBodyManager.StepSimulation,
+    SoftBodyManager.cs:199-237: per substep Pre -> iters x {edges, volumes,
+    collide} -> Post).
+
+    local_to_world / world_to_local: optional (4, 4) matrices for bodies
+    simulated in local space (SoftBodySolver.cs:224-226); None == identity
+    == world-space simulation (collisions then skip the matrix transform).
+    """
+    edges = jnp.asarray(topology.edges, jnp.int32)
+    edge_rest = jnp.asarray(topology.edge_rest, jnp.float32)
+    tets = jnp.asarray(topology.tets, jnp.int32)
+    tet_rest_vol = jnp.asarray(topology.tet_rest_vol, jnp.float32)
+    nv = topology.num_particles
+    has_edges = topology.num_edges > 0
+    has_tets = topology.num_tets > 0
+
+    gravity_w = jnp.asarray(params.gravity, jnp.float32)
+    ground_point = jnp.asarray(params.ground_point, jnp.float32)
+    gn = jnp.asarray(params.ground_normal, jnp.float32)
+    n2 = float(jnp.sum(gn * gn))
+    ground_normal = (gn / jnp.sqrt(n2)) if n2 >= 1e-12 else jnp.array(
+        [0.0, 1.0, 0.0], jnp.float32)
+
+    l2w = None if local_to_world is None else jnp.asarray(
+        local_to_world, jnp.float32)
+    w2l = None if world_to_local is None else jnp.asarray(
+        world_to_local, jnp.float32)
+    gravity_l = gravity_w if w2l is None else w2l[:3, :3] @ gravity_w
+
+    radius = max(1e-6, params.particle_radius)
+    k_colliders = 0 if colliders is None else colliders.count
+    do_collide = params.ground_enabled or k_colliders > 0
+    self_collide = (make_self_collision_fn(params) if params.self_collision
+                    else None)
+
+    def to_world(p):
+        return p if l2w is None else p @ l2w[:3, :3].T + l2w[:3, 3]
+
+    def to_local(p):
+        return p if w2l is None else p @ w2l[:3, :3].T + w2l[:3, 3]
+
+    def solve_collisions(x_pred, inv_mass):
+        pw = to_world(x_pred)
+        if params.ground_enabled:
+            pw = project_ground_plane(pw, radius, ground_point, ground_normal)
+        if k_colliders > 0:
+            pw = collide_particles(pw, radius, colliders)
+        if self_collide is not None:
+            pw = self_collide(pw, inv_mass, radius)
+        pl = to_local(pw)
+        return jnp.where((inv_mass != 0.0)[:, None], pl, x_pred)
+
+    def iteration(carry, _):
+        # k_edge / k_vol / omega are traced scalars so they can be per-scene
+        # overrides under vmap (randomized-stiffness datagen, BASELINE #5)
+        x_pred, inv_mass, k_edge, k_vol, omega = carry
+        if has_edges:
+            delta, cnt = edge_jacobi_deltas(
+                x_pred, inv_mass, edges, edge_rest, k_edge, nv)
+            x_pred = apply_delta(x_pred, inv_mass, delta, cnt, omega)
+        if has_tets:
+            delta, cnt = tet_jacobi_deltas(
+                x_pred, inv_mass, tets, tet_rest_vol, k_vol, nv)
+            x_pred = apply_delta(x_pred, inv_mass, delta, cnt, omega)
+        if do_collide or self_collide is not None:
+            x_pred = solve_collisions(x_pred, inv_mass)
+        return (x_pred, inv_mass, k_edge, k_vol, omega), None
+
+    def substep(state: SimState, sdt, k_edge, k_vol, omega) -> SimState:
+        # PreSolve (SoftBodySolver.cs:349-362); state.x doubles as posPrev
+        pinned = (state.inv_mass == 0.0)[:, None]
+        v = jnp.where(pinned, 0.0, state.v + gravity_l * sdt)
+        x_pred = jnp.where(pinned, state.x, state.x + v * sdt)
+
+        (x_pred, _, _, _, _), _ = jax.lax.scan(
+            iteration, (x_pred, state.inv_mass, k_edge, k_vol, omega), None,
+            length=params.iterations)
+
+        # PostSolve (SoftBodySolver.cs:364-377)
+        inv_dt = jnp.where(sdt > 0.0, 1.0 / sdt, 0.0)
+        v = jnp.where(pinned, 0.0, (x_pred - state.x) * inv_dt)
+        x = jnp.where(pinned, state.x, x_pred)
+        return SimState(
+            x=x, v=v, x_star=x, inv_mass=state.inv_mass,
+            edge_lambda=state.edge_lambda, tet_lambda=state.tet_lambda,
+        )
+
+    def step(state: SimState, dt, edge_stiffness=None, volume_stiffness=None,
+             sor_omega=None) -> SimState:
+        """Optional traced scalar overrides for the three tunables the
+        reference exposes per solver (SoftBodySolver.cs:28-32)."""
+        k_edge = jnp.asarray(
+            params.edge_stiffness if edge_stiffness is None
+            else edge_stiffness, jnp.float32)
+        k_vol = jnp.asarray(
+            params.volume_stiffness if volume_stiffness is None
+            else volume_stiffness, jnp.float32)
+        omega = jnp.asarray(
+            params.sor_omega if sor_omega is None else sor_omega,
+            jnp.float32)
+        ss = max(1, params.substeps)
+        sdt = jnp.asarray(dt, jnp.float32) / ss
+
+        def body(st, _):
+            return substep(st, sdt, k_edge, k_vol, omega), None
+
+        state, _ = jax.lax.scan(body, state, None, length=ss)
+        return state
+
+    return step

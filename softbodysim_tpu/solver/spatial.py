@@ -1,0 +1,108 @@
+"""Spatial-hash broad-phase for self / inter-body particle collision.
+
+New capability required by BASELINE.json config #4 ("several soft bodies with
+spatial-hash self/inter-collision") -- the reference only brute-forces K
+primitive colliders per particle (SoftBodySolver.cs:554-561) and has no
+particle-particle collision at all.
+
+Fully jit-compatible design (static shapes, no host sync):
+  1. hash each particle's cell (floor(p / h)) into a power-of-two table with
+     the classic 3-prime XOR hash (the same primes the reference uses for its
+     EdgeKey/FaceKey hashing, SoftBodyTetMeshAsset.cs:118,134);
+  2. sort particle ids by hash (one lax.sort);
+  3. for each particle, scan its 27 neighbor cells; each cell contributes a
+     fixed-size window of candidates located via searchsorted over the sorted
+     hash array (capacity ``max_per_cell``, masked);
+  4. sphere-sphere push-out per candidate pair, inverse-mass weighted,
+     accumulated Jacobi-style and applied once.
+
+Hash collisions only add false candidates -- the distance test filters them.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_P1, _P2, _P3 = 73856093, 19349663, 83492791
+
+_OFFSETS = np.array(
+    [[dx, dy, dz] for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+     for dz in (-1, 0, 1)],
+    np.int32,
+)
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(1, int(np.ceil(np.log2(max(2, x)))))
+
+
+def _cell_hash(cells, table_size):
+    h = (cells[..., 0] * _P1) ^ (cells[..., 1] * _P2) ^ (cells[..., 2] * _P3)
+    return (h & (table_size - 1)).astype(jnp.int32)
+
+
+def self_collision_deltas(p, inv_mass, radius, cell_size, max_per_cell):
+    """Compute per-particle separation deltas from particle-particle overlap.
+
+    Returns (N, 3) deltas; caller applies them (typically once per solver
+    iteration, after primitive collisions).
+    """
+    n = p.shape[0]
+    table_size = _next_pow2(2 * n)
+
+    cells = jnp.floor(p / cell_size).astype(jnp.int32)
+    hashes = _cell_hash(cells, table_size)
+
+    order = jnp.argsort(hashes)
+    sorted_hash = hashes[order]
+
+    # For each particle and each of its 27 neighbor cells: candidate window
+    neighbor_cells = cells[:, None, :] + jnp.asarray(_OFFSETS)[None, :, :]
+    nh = _cell_hash(neighbor_cells, table_size)            # (N, 27)
+
+    start = jnp.searchsorted(sorted_hash, nh.reshape(-1), side="left")
+    end = jnp.searchsorted(sorted_hash, nh.reshape(-1), side="right")
+    start = start.reshape(n, 27)
+    end = end.reshape(n, 27)
+
+    slot = jnp.arange(max_per_cell, dtype=jnp.int32)        # (M,)
+    cand_pos = start[:, :, None] + slot[None, None, :]      # (N, 27, M)
+    cand_valid = cand_pos < end[:, :, None]
+    cand_pos = jnp.clip(cand_pos, 0, n - 1)
+    cand = order[cand_pos]                                  # particle ids
+
+    pi = p[:, None, None, :]
+    pj = p[cand]
+    d = pi - pj
+    dist2 = jnp.sum(d * d, axis=-1)
+
+    min_dist = 2.0 * radius
+    self_pair = cand == jnp.arange(n, dtype=cand.dtype)[:, None, None]
+    hit = cand_valid & (~self_pair) & (dist2 < min_dist * min_dist) & (
+        dist2 > 1e-18)
+
+    dist = jnp.sqrt(jnp.maximum(dist2, 1e-18))
+    nvec = d / dist[..., None]
+
+    wi = inv_mass[:, None, None]
+    wj = inv_mass[cand]
+    wsum = wi + wj
+    share = jnp.where(wsum > 0.0, wi / jnp.where(wsum == 0.0, 1.0, wsum), 0.0)
+
+    overlap = (min_dist - dist) * share
+    push = nvec * jnp.where(hit, overlap, 0.0)[..., None]
+    return jnp.sum(push, axis=(1, 2))
+
+
+def make_self_collision_fn(params):
+    """Bind static parameters; returns fn(p_world, inv_mass, radius)."""
+    cell = float(params.self_collision_cell)
+    cap = int(params.self_collision_max_per_cell)
+
+    def fn(pw, inv_mass, radius):
+        delta = self_collision_deltas(pw, inv_mass, radius, cell, cap)
+        return jnp.where((inv_mass > 0.0)[:, None], pw + delta, pw)
+
+    return fn

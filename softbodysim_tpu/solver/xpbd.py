@@ -1,0 +1,259 @@
+"""XPBD solver -- the C++ PBDServer physics contract, TPU-native.
+
+Reference semantics (CProgram/src/Sim.cpp):
+  predict           Sim.cpp:178-185   (pinned: x* = x, velocity untouched)
+  solve_edges_xpbd  Sim.cpp:100-130   (compliance alpha = comp/dt^2,
+                                       dlambda = (-C - alpha*lambda)/(wSum+alpha),
+                                       lambda accumulates, zeroed only at init)
+  solve_tets_xpbd   Sim.cpp:132-173   (volume-gradient form, signed rest vol)
+  project_ground    Sim.cpp:187-195   (axis-aligned y clamp)
+  commit            Sim.cpp:197-222   (v=(x*-x)/dt, ground friction damps
+                                       vx/vz and zeroes downward vy)
+  substep loop      Sim.cpp:280-305   (predict -> iters x (edges, tets,
+                                       ground) -> commit)
+
+The sequential Gauss-Seidel sweeps become *graph-colored* sweeps: constraints
+within a color share no vertex (core/topology.py), so projecting one color in
+parallel is exactly the serial result.  Colors run under ``lax.scan`` with
+padded (C, K) index groups; iterations and substeps are ``lax.scan`` too, so
+one XLA compilation covers any iteration/substep count.
+
+Float behavior mirrors the reference: fp32 everywhere, the same 1e-12 /
+1e-20 guards (Sim.cpp:101,114,157).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.state import SimState, SolverParams, tet_signed_volume
+from ..collide.primitives import Colliders, collide_particles
+
+
+def _f32(x):
+    return jnp.asarray(x, jnp.float32)
+
+
+def edge_color_sweep(x_star, edge_lambda, inv_mass, edges, edge_rest,
+                     color_idx, color_mask, alpha):
+    """Project one color's distance constraints in parallel.
+
+    Padded slots (mask False) are forced to dlambda == 0, so the scatter-adds
+    below are no-ops for them even when pad indices collide.
+    """
+    ids = color_idx
+    mask = color_mask
+    i0 = edges[ids, 0]
+    i1 = edges[ids, 1]
+    w0 = inv_mass[i0]
+    w1 = inv_mass[i1]
+    w_sum = w0 + w1
+
+    p0 = x_star[i0]
+    p1 = x_star[i1]
+    d = p0 - p1
+    length = jnp.sqrt(jnp.sum(d * d, axis=-1))
+
+    valid = mask & (w_sum != 0.0) & (length >= 1e-12)
+
+    c = length - edge_rest[ids]
+    lam = edge_lambda[ids]
+    denom = w_sum + alpha
+    dlam = jnp.where(valid, (-c - alpha * lam) / jnp.where(denom == 0.0, 1.0, denom), 0.0)
+
+    n = d * (1.0 / jnp.where(length < 1e-12, 1.0, length))[:, None]
+    corr = n * dlam[:, None]
+
+    x_star = x_star.at[i0].add(corr * w0[:, None])
+    x_star = x_star.at[i1].add(-corr * w1[:, None])
+    edge_lambda = edge_lambda.at[ids].add(dlam)
+    return x_star, edge_lambda
+
+
+def tet_color_sweep(x_star, tet_lambda, inv_mass, tets, tet_rest_vol,
+                    color_idx, color_mask, alpha):
+    """Project one color's volume constraints in parallel (Sim.cpp:132-173)."""
+    ids = color_idx
+    mask = color_mask
+    a = tets[ids, 0]
+    b = tets[ids, 1]
+    c_ = tets[ids, 2]
+    d_ = tets[ids, 3]
+    wa, wb, wc, wd = inv_mass[a], inv_mass[b], inv_mass[c_], inv_mass[d_]
+
+    pa, pb, pc, pd = x_star[a], x_star[b], x_star[c_], x_star[d_]
+
+    ga = jnp.cross(pd - pb, pc - pb) * (1.0 / 6.0)
+    gb = jnp.cross(pc - pa, pd - pa) * (1.0 / 6.0)
+    gc = jnp.cross(pd - pa, pb - pa) * (1.0 / 6.0)
+    gd = jnp.cross(pb - pa, pc - pa) * (1.0 / 6.0)
+
+    w_sum = (
+        wa * jnp.sum(ga * ga, -1)
+        + wb * jnp.sum(gb * gb, -1)
+        + wc * jnp.sum(gc * gc, -1)
+        + wd * jnp.sum(gd * gd, -1)
+    )
+
+    valid = mask & ((wa + wb + wc + wd) != 0.0) & (w_sum >= 1e-20)
+
+    vol = tet_signed_volume(pa, pb, pc, pd)
+    cfn = vol - tet_rest_vol[ids]
+    lam = tet_lambda[ids]
+    denom = w_sum + alpha
+    dlam = jnp.where(valid, (-cfn - alpha * lam) / jnp.where(denom == 0.0, 1.0, denom), 0.0)
+
+    x_star = x_star.at[a].add(ga * (wa * dlam)[:, None])
+    x_star = x_star.at[b].add(gb * (wb * dlam)[:, None])
+    x_star = x_star.at[c_].add(gc * (wc * dlam)[:, None])
+    x_star = x_star.at[d_].add(gd * (wd * dlam)[:, None])
+    tet_lambda = tet_lambda.at[ids].add(dlam)
+    return x_star, tet_lambda
+
+
+def predict(state: SimState, gravity, sdt) -> SimState:
+    """Semi-implicit Euler predict (Sim.cpp:178-185)."""
+    pinned = (state.inv_mass == 0.0)[:, None]
+    v = jnp.where(pinned, state.v, state.v + gravity * sdt)
+    x_star = jnp.where(pinned, state.x, state.x + v * sdt)
+    return SimState(
+        x=state.x, v=v, x_star=x_star, inv_mass=state.inv_mass,
+        edge_lambda=state.edge_lambda, tet_lambda=state.tet_lambda,
+    )
+
+
+def project_ground(x_star, inv_mass, ground_y):
+    """Axis-aligned ground clamp (Sim.cpp:187-195)."""
+    y = x_star[:, 1]
+    clamped = jnp.maximum(y, ground_y)
+    y_new = jnp.where(inv_mass == 0.0, y, clamped)
+    return x_star.at[:, 1].set(y_new)
+
+
+def commit(state: SimState, params: SolverParams, sdt) -> SimState:
+    """Velocity update + ground friction + position commit (Sim.cpp:197-222)."""
+    inv_dt = jnp.where(sdt > 1e-12, 1.0 / sdt, 0.0)
+    fr = min(1.0, max(0.0, params.friction))
+
+    pinned = (state.inv_mass == 0.0)[:, None]
+    vel = (state.x_star - state.x) * inv_dt
+
+    if params.ground_enabled:
+        on_ground = state.x_star[:, 1] <= (params.ground_y + 1e-6)
+        vx = jnp.where(on_ground, vel[:, 0] * (1.0 - fr), vel[:, 0])
+        vz = jnp.where(on_ground, vel[:, 2] * (1.0 - fr), vel[:, 2])
+        vy = jnp.where(on_ground & (vel[:, 1] < 0.0), 0.0, vel[:, 1])
+        vel = jnp.stack([vx, vy, vz], axis=-1)
+
+    v = jnp.where(pinned, 0.0, vel)
+    x = jnp.where(pinned, state.x, state.x_star)
+    x_star = jnp.where(pinned, state.x, state.x_star)
+    return SimState(
+        x=x, v=v, x_star=x_star, inv_mass=state.inv_mass,
+        edge_lambda=state.edge_lambda, tet_lambda=state.tet_lambda,
+    )
+
+
+def make_xpbd_step(topology, params: SolverParams,
+                   colliders: Optional[Colliders] = None):
+    """Build ``step(state, dt) -> state`` implementing the full PBDServer
+    stepper (Sim.cpp:280-305) with colored sweeps.  The returned function is
+    pure and jit-friendly; wrap with jax.jit(donate_argnums=0) at the call
+    site (api/engine.py does).
+
+    ``colliders`` (optional, an extension over the server which only has the
+    ground plane) are resolved once per iteration after the ground projection,
+    in world space with zero particle radius.
+    """
+    edges = jnp.asarray(topology.edges, jnp.int32)
+    edge_rest = jnp.asarray(topology.edge_rest, jnp.float32)
+    tets = jnp.asarray(topology.tets, jnp.int32)
+    tet_rest_vol = jnp.asarray(topology.tet_rest_vol, jnp.float32)
+
+    e_idx = jnp.asarray(topology.edge_colors.idx, jnp.int32)
+    e_mask = jnp.asarray(topology.edge_colors.mask)
+    t_idx = jnp.asarray(topology.tet_colors.idx, jnp.int32)
+    t_mask = jnp.asarray(topology.tet_colors.mask)
+
+    gravity = jnp.asarray(params.gravity, jnp.float32)
+    has_edges = topology.num_edges > 0
+    has_tets = topology.num_tets > 0
+
+    def iteration(carry, _):
+        x_star, e_lam, t_lam, inv_mass, edge_alpha, tet_alpha = carry
+        # (edge_alpha / tet_alpha are traced scalars: compliance may be a
+        # per-scene override for randomized-stiffness batched datagen)
+
+        if has_edges:
+            def e_body(c, grp):
+                xs, lam = c
+                xs, lam = edge_color_sweep(
+                    xs, lam, inv_mass, edges, edge_rest, grp[0], grp[1],
+                    edge_alpha)
+                return (xs, lam), None
+
+            (x_star, e_lam), _ = jax.lax.scan(
+                e_body, (x_star, e_lam), (e_idx, e_mask))
+
+        if has_tets:
+            def t_body(c, grp):
+                xs, lam = c
+                xs, lam = tet_color_sweep(
+                    xs, lam, inv_mass, tets, tet_rest_vol, grp[0], grp[1],
+                    tet_alpha)
+                return (xs, lam), None
+
+            (x_star, t_lam), _ = jax.lax.scan(
+                t_body, (x_star, t_lam), (t_idx, t_mask))
+
+        if params.ground_enabled:
+            x_star = project_ground(x_star, inv_mass, params.ground_y)
+
+        if colliders is not None:
+            free = inv_mass > 0.0
+            pushed = collide_particles(x_star, 0.0, colliders)
+            x_star = jnp.where(free[:, None], pushed, x_star)
+
+        return (x_star, e_lam, t_lam, inv_mass, edge_alpha, tet_alpha), None
+
+    def substep(state: SimState, sdt, edge_comp, vol_comp) -> SimState:
+        inv_dt2 = jnp.where(sdt > 1e-12, 1.0 / (sdt * sdt), 0.0)
+        edge_alpha = jnp.maximum(edge_comp, 0.0) * inv_dt2
+        tet_alpha = jnp.maximum(vol_comp, 0.0) * inv_dt2
+
+        state = predict(state, gravity, sdt)
+
+        carry = (state.x_star, state.edge_lambda, state.tet_lambda,
+                 state.inv_mass, edge_alpha, tet_alpha)
+        carry, _ = jax.lax.scan(iteration, carry, None,
+                                length=params.iterations)
+        x_star, e_lam, t_lam = carry[0], carry[1], carry[2]
+
+        state = SimState(
+            x=state.x, v=state.v, x_star=x_star, inv_mass=state.inv_mass,
+            edge_lambda=e_lam, tet_lambda=t_lam,
+        )
+        return commit(state, params, sdt)
+
+    def step(state: SimState, dt, edge_compliance=None,
+             volume_compliance=None) -> SimState:
+        """edge_compliance / volume_compliance: optional traced scalar
+        overrides (per-scene under vmap for randomized-stiffness datagen,
+        BASELINE config #5); default to the static params."""
+        ec = _f32(params.edge_compliance if edge_compliance is None
+                  else edge_compliance)
+        vc = _f32(params.volume_compliance if volume_compliance is None
+                  else volume_compliance)
+        ss = max(1, params.substeps)
+        sdt = _f32(dt) / ss
+
+        def body(st, _):
+            return substep(st, sdt, ec, vc), None
+
+        state, _ = jax.lax.scan(body, state, None, length=ss)
+        return state
+
+    return step
