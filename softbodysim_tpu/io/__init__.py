@@ -1,0 +1,7 @@
+from .checkpoint import load_state, params_from_metadata, save_state
+from .export import ObjSequenceWriter, load_rollout, save_rollout, write_obj
+
+__all__ = [
+    "save_state", "load_state", "params_from_metadata",
+    "write_obj", "ObjSequenceWriter", "save_rollout", "load_rollout",
+]

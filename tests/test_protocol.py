@@ -1,0 +1,92 @@
+"""PBD1 wire protocol: codec round-trips and a live loopback
+INIT/STEP/POSITIONS/SHUTDOWN session against the in-process engine."""
+
+import numpy as np
+
+from softbodysim_tpu import Engine, SolverParams
+from softbodysim_tpu.api import protocol
+from softbodysim_tpu.api.client import PBDClient
+from softbodysim_tpu.api.protocol import InitMessage, WireParams
+from softbodysim_tpu.api.server import PBDServer
+from softbodysim_tpu.core import meshes
+
+DT = 1.0 / 60.0
+
+
+def test_header_layout():
+    hdr = protocol.pack_header(protocol.MSG_STEP, 4)
+    assert len(hdr) == 12
+    assert hdr[:4] == b"PBD1"  # magic 0x31444250 little-endian
+
+
+def test_init_roundtrip():
+    topo = meshes.tet_cube(2, 2, 2)
+    params = WireParams(substeps=3, iterations=9, edge_compliance=1e-3,
+                        gravity=(0.0, -5.0, 0.0), friction=0.3)
+    msg = InitMessage(
+        params=params,
+        pinned=np.array([1, 5], np.uint32),
+        x0=topo.vertices,
+        edges=topo.edges.astype(np.uint32),
+        tets=topo.tets.astype(np.uint32))
+    blob = protocol.pack_init(msg)
+    # strip header, decode
+    assert blob[:4] == b"PBD1"
+    out = protocol.unpack_init(blob[12:])
+    assert out.params.substeps == 3
+    assert out.params.iterations == 9
+    assert out.params.friction == np.float32(0.3)
+    np.testing.assert_array_equal(out.pinned, [1, 5])
+    np.testing.assert_allclose(out.x0, topo.vertices)
+    np.testing.assert_array_equal(out.edges, topo.edges)
+    np.testing.assert_array_equal(out.tets, topo.tets)
+
+
+def test_loopback_session_matches_local_engine():
+    """Full TCP round trip; positions must equal a local engine with the
+    same wire config bit-for-bit (same jitted step on the same platform)."""
+    topo = meshes.tet_cube(2, 2, 2, size=0.5, center=(0.0, 0.7, 0.0))
+    wire = WireParams(substeps=2, iterations=6)
+
+    srv = PBDServer(port=0, verbose=False).start_background().wait_ready()
+    with PBDClient(port=srv.port) as cli:
+        cli.init(topo.vertices, topo.edges, topo.tets, params=wire)
+
+        local = Engine(
+            topo,
+            SolverParams(dialect="xpbd", substeps=2, iterations=6),
+            inv_mass_mode="tet")
+
+        for _ in range(10):
+            remote_pos = cli.step(DT)
+            local.step(DT)
+        np.testing.assert_allclose(remote_pos, local.positions(), atol=1e-6)
+
+
+def test_loopback_pinned_and_params():
+    topo = meshes.tet_cube(2, 2, 2, center=(0.0, 1.0, 0.0))
+    top = np.nonzero(
+        topo.vertices[:, 1] >= topo.vertices[:, 1].max() - 1e-6)[0]
+
+    srv = PBDServer(port=0, verbose=False).start_background().wait_ready()
+    with PBDClient(port=srv.port) as cli:
+        cli.init(topo.vertices, topo.edges, topo.tets,
+                 params=WireParams(substeps=1, iterations=4),
+                 pinned=top.astype(np.uint32))
+        pos = None
+        for _ in range(30):
+            pos = cli.step(DT)
+        np.testing.assert_allclose(pos[top], topo.vertices[top], atol=1e-6)
+        free = np.setdiff1d(np.arange(topo.num_particles), top)
+        assert (pos[free, 1] < topo.vertices[free, 1]).any()
+
+
+def test_step_before_init_is_ignored_then_session_continues():
+    topo = meshes.single_tet()
+    srv = PBDServer(port=0, verbose=False).start_background().wait_ready()
+    with PBDClient(port=srv.port) as cli:
+        # reference ignores STEP before INIT (Server.cpp:122 'continue')
+        cli.sock.sendall(protocol.pack_step(DT))
+        cli.init(topo.vertices, topo.edges, topo.tets)
+        pos = cli.step(DT)
+        assert pos.shape == (4, 3)
