@@ -1,0 +1,297 @@
+// softtopo: native host-side topology tooling for softbodysim_tpu.
+//
+// TPU-native counterpart of the reference's native layers:
+//   - the binary-only tetrahedralizer plugin (reference:
+//     Assets/Hanzzz/Tetrahedralizer/..., C ABI tetrahedralize/load/unload) is
+//     replaced by a voxel tetrahedralizer (closed mesh -> conforming 5-tet
+//     grid of its interior);
+//   - the C# topology builders (unique edges + boundary surface with outward
+//     winding, SoftBodyTetMeshAsset.cs:139-203) and the new graph coloring
+//     the TPU solver needs run here at native speed for large meshes.
+//
+// All entry points are C ABI, consumed via ctypes
+// (softbodysim_tpu/core/native.py).  Results are bit-identical to the NumPy
+// fallbacks (same orderings, same greedy coloring scan).
+
+#include <algorithm>
+#include <array>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct Topo {
+  std::vector<int32_t> edges;       // (E,2) sorted pairs, lex order
+  std::vector<int32_t> surface;     // (S,3) outward wound, lex-sorted rows
+  std::vector<int32_t> edge_colors; // (E,)
+  std::vector<int32_t> tet_colors;  // (T,)
+};
+
+struct VoxMesh {
+  std::vector<float> verts;   // (V,3)
+  std::vector<int32_t> tets;  // (T,4)
+};
+
+inline double tet_signed_volume(const float* v, int a, int b, int c, int d) {
+  double ax = v[3 * b + 0] - v[3 * a + 0], ay = v[3 * b + 1] - v[3 * a + 1],
+         az = v[3 * b + 2] - v[3 * a + 2];
+  double bx = v[3 * c + 0] - v[3 * a + 0], by = v[3 * c + 1] - v[3 * a + 1],
+         bz = v[3 * c + 2] - v[3 * a + 2];
+  double cx = v[3 * d + 0] - v[3 * a + 0], cy = v[3 * d + 1] - v[3 * a + 1],
+         cz = v[3 * d + 2] - v[3 * a + 2];
+  double nx = ay * bz - az * by, ny = az * bx - ax * bz, nz = ax * by - ay * bx;
+  return (nx * cx + ny * cy + nz * cz) / 6.0;
+}
+
+// Greedy coloring, identical scan to core/topology.py::greedy_color:
+// ascending constraint order, smallest color unused among colors already
+// assigned to constraints sharing a vertex.
+std::vector<int32_t> greedy_color(const int32_t* cons, int64_t n, int arity,
+                                  int64_t nverts) {
+  std::vector<int32_t> colors(n, 0);
+  std::vector<std::vector<int32_t>> used_at(nverts);
+  std::vector<uint8_t> used;  // color usage scratch
+  for (int64_t i = 0; i < n; ++i) {
+    size_t need = 0;
+    for (int k = 0; k < arity; ++k)
+      need += used_at[cons[i * arity + k]].size();
+    used.assign(need + 1, 0);
+    for (int k = 0; k < arity; ++k)
+      for (int32_t c : used_at[cons[i * arity + k]])
+        if ((size_t)c < used.size()) used[c] = 1;
+    int32_t col = 0;
+    while ((size_t)col < used.size() && used[col]) ++col;
+    colors[i] = col;
+    for (int k = 0; k < arity; ++k) used_at[cons[i * arity + k]].push_back(col);
+  }
+  return colors;
+}
+
+}  // namespace
+
+extern "C" {
+
+// ---------- topology build ----------
+
+void* st_build_topology(const float* verts, int64_t nverts,
+                        const int32_t* tets, int64_t ntets) {
+  auto* topo = new Topo();
+
+  // unique sorted-pair edges, lexicographic order (matches np.unique)
+  {
+    std::vector<uint64_t> keys;
+    keys.reserve(ntets * 6);
+    static const int P[6][2] = {{0, 1}, {0, 2}, {0, 3}, {1, 2}, {1, 3}, {2, 3}};
+    for (int64_t t = 0; t < ntets; ++t) {
+      for (auto& pr : P) {
+        uint64_t a = (uint64_t)tets[t * 4 + pr[0]];
+        uint64_t b = (uint64_t)tets[t * 4 + pr[1]];
+        if (a > b) std::swap(a, b);
+        keys.push_back((a << 32) | b);
+      }
+    }
+    std::sort(keys.begin(), keys.end());
+    keys.erase(std::unique(keys.begin(), keys.end()), keys.end());
+    topo->edges.reserve(keys.size() * 2);
+    for (uint64_t k : keys) {
+      topo->edges.push_back((int32_t)(k >> 32));
+      topo->edges.push_back((int32_t)(k & 0xffffffffu));
+    }
+  }
+
+  // boundary faces: count unordered keys over the 4 faces per tet
+  // (a,b,c|d), (a,d,b|c), (a,c,d|b), (b,d,c|a); faces seen once are
+  // boundary; flip winding so the opposite vertex is behind the normal.
+  {
+    struct FaceVal {
+      int32_t i0, i1, i2, opp;
+      int count;
+    };
+    std::unordered_map<uint64_t, FaceVal> faces;
+    faces.reserve(ntets * 4);
+    auto fkey = [](int32_t x, int32_t y, int32_t z) {
+      int32_t a = x, b = y, c = z;
+      if (a > b) std::swap(a, b);
+      if (b > c) std::swap(b, c);
+      if (a > b) std::swap(a, b);
+      // 21 bits each is plenty for <2M vertices
+      return ((uint64_t)a << 42) | ((uint64_t)b << 21) | (uint64_t)c;
+    };
+    auto add_face = [&](int32_t i0, int32_t i1, int32_t i2, int32_t opp) {
+      auto key = fkey(i0, i1, i2);
+      auto it = faces.find(key);
+      if (it == faces.end())
+        faces[key] = FaceVal{i0, i1, i2, opp, 1};
+      else
+        it->second.count++;
+    };
+    for (int64_t t = 0; t < ntets; ++t) {
+      int32_t a = tets[t * 4], b = tets[t * 4 + 1], c = tets[t * 4 + 2],
+              d = tets[t * 4 + 3];
+      add_face(a, b, c, d);
+      add_face(a, d, b, c);
+      add_face(a, c, d, b);
+      add_face(b, d, c, a);
+    }
+    std::vector<std::array<int32_t, 3>> tris;
+    for (auto& kv : faces) {
+      if (kv.second.count != 1) continue;
+      int32_t i0 = kv.second.i0, i1 = kv.second.i1, i2 = kv.second.i2;
+      double s = tet_signed_volume(verts, i0, i1, i2, kv.second.opp) * 6.0;
+      if (s > 0.0) std::swap(i1, i2);
+      tris.push_back({i0, i1, i2});
+    }
+    std::sort(tris.begin(), tris.end());
+    topo->surface.reserve(tris.size() * 3);
+    for (auto& t : tris) {
+      topo->surface.push_back(t[0]);
+      topo->surface.push_back(t[1]);
+      topo->surface.push_back(t[2]);
+    }
+  }
+
+  topo->edge_colors = greedy_color(topo->edges.data(),
+                                   (int64_t)topo->edges.size() / 2, 2, nverts);
+  topo->tet_colors = greedy_color(tets, ntets, 4, nverts);
+  return topo;
+}
+
+int64_t st_num_edges(void* h) { return ((Topo*)h)->edges.size() / 2; }
+int64_t st_num_surface(void* h) { return ((Topo*)h)->surface.size() / 3; }
+
+void st_get_edges(void* h, int32_t* out) {
+  auto& e = ((Topo*)h)->edges;
+  std::memcpy(out, e.data(), e.size() * sizeof(int32_t));
+}
+void st_get_surface(void* h, int32_t* out) {
+  auto& s = ((Topo*)h)->surface;
+  std::memcpy(out, s.data(), s.size() * sizeof(int32_t));
+}
+void st_get_edge_colors(void* h, int32_t* out) {
+  auto& c = ((Topo*)h)->edge_colors;
+  std::memcpy(out, c.data(), c.size() * sizeof(int32_t));
+}
+void st_get_tet_colors(void* h, int32_t* out) {
+  auto& c = ((Topo*)h)->tet_colors;
+  std::memcpy(out, c.data(), c.size() * sizeof(int32_t));
+}
+void st_free(void* h) { delete (Topo*)h; }
+
+// standalone coloring entry (used for cloth / custom constraint sets)
+void st_greedy_color(const int32_t* cons, int64_t n, int32_t arity,
+                     int64_t nverts, int32_t* out) {
+  auto colors = greedy_color(cons, n, arity, nverts);
+  std::memcpy(out, colors.data(), colors.size() * sizeof(int32_t));
+}
+
+// ---------- voxel tetrahedralizer ----------
+//
+// Closed triangle mesh -> tet mesh of its interior: voxelize by cell-center
+// parity ray casts (+x), then split each inside cell into 5 tets with
+// alternating parity so shared faces conform (same pattern as
+// core/meshes.py::tet_cube).
+
+void* st_voxelize(const float* verts, int64_t nverts, const int32_t* tris,
+                  int64_t ntris, float cell) {
+  auto* out = new VoxMesh();
+  if (nverts == 0 || ntris == 0 || cell <= 0.0f) return out;
+
+  float lo[3] = {1e30f, 1e30f, 1e30f}, hi[3] = {-1e30f, -1e30f, -1e30f};
+  for (int64_t i = 0; i < nverts; ++i)
+    for (int k = 0; k < 3; ++k) {
+      lo[k] = std::min(lo[k], verts[i * 3 + k]);
+      hi[k] = std::max(hi[k], verts[i * 3 + k]);
+    }
+
+  int nx = std::max(1, (int)std::ceil((hi[0] - lo[0]) / cell));
+  int ny = std::max(1, (int)std::ceil((hi[1] - lo[1]) / cell));
+  int nz = std::max(1, (int)std::ceil((hi[2] - lo[2]) / cell));
+  if ((int64_t)nx * ny * nz > (int64_t)64 * 1024 * 1024) return out;  // guard
+
+  // inside test per cell center: parity of +x ray / triangle crossings
+  std::vector<uint8_t> inside((size_t)nx * ny * nz, 0);
+  for (int j = 0; j < ny; ++j) {
+    double cy = lo[1] + (j + 0.5) * cell;
+    for (int k = 0; k < nz; ++k) {
+      double cz = lo[2] + (k + 0.5) * cell;
+      // collect x-crossings of the ray (y=cy, z=cz)
+      std::vector<double> xs;
+      for (int64_t t = 0; t < ntris; ++t) {
+        const float* p0 = verts + 3 * tris[t * 3 + 0];
+        const float* p1 = verts + 3 * tris[t * 3 + 1];
+        const float* p2 = verts + 3 * tris[t * 3 + 2];
+        // 2D point-in-triangle in (y,z), then solve x on the plane
+        double d0y = p1[1] - p0[1], d0z = p1[2] - p0[2];
+        double d1y = p2[1] - p0[1], d1z = p2[2] - p0[2];
+        double det = d0y * d1z - d0z * d1y;
+        if (std::fabs(det) < 1e-18) continue;
+        double wy = cy - p0[1], wz = cz - p0[2];
+        double u = (wy * d1z - wz * d1y) / det;
+        double v = (d0y * wz - d0z * wy) / det;
+        if (u < 0.0 || v < 0.0 || u + v > 1.0) continue;
+        double x = p0[0] + u * (p1[0] - p0[0]) + v * (p2[0] - p0[0]);
+        xs.push_back(x);
+      }
+      std::sort(xs.begin(), xs.end());
+      for (int i = 0; i < nx; ++i) {
+        double cx = lo[0] + (i + 0.5) * cell;
+        size_t cross =
+            std::lower_bound(xs.begin(), xs.end(), cx) - xs.begin();
+        size_t after = xs.size() - cross;
+        if (after % 2 == 1)
+          inside[((size_t)i * ny + j) * nz + k] = 1;
+      }
+    }
+  }
+
+  // emit shared grid vertices for inside cells
+  std::unordered_map<uint64_t, int32_t> vid_map;
+  auto grid_vid = [&](int i, int j, int k) -> int32_t {
+    uint64_t key = ((uint64_t)i << 42) | ((uint64_t)j << 21) | (uint64_t)k;
+    auto it = vid_map.find(key);
+    if (it != vid_map.end()) return it->second;
+    int32_t id = (int32_t)(out->verts.size() / 3);
+    vid_map[key] = id;
+    out->verts.push_back(lo[0] + i * cell);
+    out->verts.push_back(lo[1] + j * cell);
+    out->verts.push_back(lo[2] + k * cell);
+    return id;
+  };
+
+  static const int EVEN[5][4] = {
+      {0, 1, 2, 4}, {1, 3, 2, 7}, {1, 4, 5, 7}, {2, 4, 7, 6}, {1, 2, 4, 7}};
+  static const int ODD[5][4] = {
+      {0, 1, 3, 5}, {0, 3, 2, 6}, {0, 5, 4, 6}, {3, 5, 6, 7}, {0, 3, 5, 6}};
+
+  for (int i = 0; i < nx; ++i)
+    for (int j = 0; j < ny; ++j)
+      for (int k = 0; k < nz; ++k) {
+        if (!inside[((size_t)i * ny + j) * nz + k]) continue;
+        int32_t c[8] = {grid_vid(i, j, k),         grid_vid(i, j, k + 1),
+                        grid_vid(i, j + 1, k),     grid_vid(i, j + 1, k + 1),
+                        grid_vid(i + 1, j, k),     grid_vid(i + 1, j, k + 1),
+                        grid_vid(i + 1, j + 1, k), grid_vid(i + 1, j + 1, k + 1)};
+        const int(*pat)[4] = ((i + j + k) % 2 == 0) ? EVEN : ODD;
+        for (int t = 0; t < 5; ++t)
+          for (int m = 0; m < 4; ++m) out->tets.push_back(c[pat[t][m]]);
+      }
+
+  return out;
+}
+
+int64_t st_vox_num_verts(void* h) { return ((VoxMesh*)h)->verts.size() / 3; }
+int64_t st_vox_num_tets(void* h) { return ((VoxMesh*)h)->tets.size() / 4; }
+void st_vox_get_verts(void* h, float* out) {
+  auto& v = ((VoxMesh*)h)->verts;
+  std::memcpy(out, v.data(), v.size() * sizeof(float));
+}
+void st_vox_get_tets(void* h, int32_t* out) {
+  auto& t = ((VoxMesh*)h)->tets;
+  std::memcpy(out, t.data(), t.size() * sizeof(int32_t));
+}
+void st_vox_free(void* h) { delete (VoxMesh*)h; }
+
+}  // extern "C"

@@ -185,11 +185,14 @@ def greedy_color(constraints: np.ndarray, num_vertices: int) -> np.ndarray:
     return colors
 
 
-def color_groups(constraints: np.ndarray, num_vertices: int) -> ColorGroups:
+def color_groups(constraints: np.ndarray, num_vertices: int,
+                 colors: Optional[np.ndarray] = None) -> ColorGroups:
     """Color constraints and pack them into padded (C, K) groups.
 
     Padding uses constraint id 0 with mask False; the solver multiplies
-    corrections by the mask so pads are exact no-ops.
+    corrections by the mask so pads are exact no-ops.  ``colors`` may be
+    precomputed (e.g. by the native lib); otherwise the Python greedy scan
+    runs (identical ordering).
     """
     cons = np.asarray(constraints, np.int64)
     n = cons.shape[0]
@@ -199,7 +202,12 @@ def color_groups(constraints: np.ndarray, num_vertices: int) -> ColorGroups:
             mask=np.zeros((1, 1), bool),
             order=np.zeros((0,), np.int64),
         )
-    colors = greedy_color(cons, num_vertices)
+    if colors is None:
+        from .native import native_greedy_color
+
+        colors = native_greedy_color(cons, num_vertices)
+    if colors is None:
+        colors = greedy_color(cons, num_vertices)
     num_colors = int(colors.max()) + 1
     groups = [np.nonzero(colors == c)[0] for c in range(num_colors)]
     k = max(len(g) for g in groups)
@@ -228,6 +236,20 @@ def build_topology(
     if orient:
         tets = orient_tets_positive(vertices, tets)
 
+    edge_colors_pre = None
+    tet_colors_pre = None
+    if (edges is None or surface_tris is None) and tets.size:
+        from .native import native_build_topology
+
+        nat = native_build_topology(vertices, tets)
+        if nat is not None:
+            n_edges, n_surface, ecol, tcol = nat
+            if edges is None:
+                edges = n_edges
+                edge_colors_pre = ecol
+            if surface_tris is None:
+                surface_tris = n_surface
+            tet_colors_pre = tcol
     if edges is None or surface_tris is None:
         dedges, dtris = build_edges_and_surface(vertices, tets)
         if edges is None:
@@ -259,6 +281,6 @@ def build_topology(
         surface_tris=surface_tris.astype(np.int32),
         edge_rest=edge_rest,
         tet_rest_vol=tet_rest_vol,
-        edge_colors=color_groups(edges, nv),
-        tet_colors=color_groups(tets, nv),
+        edge_colors=color_groups(edges, nv, colors=edge_colors_pre),
+        tet_colors=color_groups(tets, nv, colors=tet_colors_pre),
     )

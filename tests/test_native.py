@@ -1,0 +1,110 @@
+"""Native (C++) topology lib vs NumPy fallbacks: results must be identical,
+and the voxel tetrahedralizer must produce valid closed topology."""
+
+import numpy as np
+import pytest
+
+from softbodysim_tpu.core import meshes
+from softbodysim_tpu.core.native import (
+    available, native_build_topology, native_greedy_color, native_voxelize)
+from softbodysim_tpu.core.tetrahedralize import (
+    tetrahedralize, topology_from_mesh, voxelize_numpy)
+from softbodysim_tpu.core.topology import (
+    build_edges_and_surface, build_topology, greedy_color)
+
+needs_native = pytest.mark.skipif(
+    not available(), reason="native lib not built")
+
+
+@needs_native
+def test_native_matches_python_topology():
+    topo_src = meshes.tet_cube(3, 3, 3)
+    v, t = topo_src.vertices, topo_src.tets.astype(np.int64)
+    edges_py, tris_py = build_edges_and_surface(v, t)
+    edges_n, tris_n, ecol_n, tcol_n = native_build_topology(v, t)
+
+    np.testing.assert_array_equal(edges_n, edges_py)
+    np.testing.assert_array_equal(tris_n, tris_py)
+    np.testing.assert_array_equal(ecol_n, greedy_color(edges_py, len(v)))
+    np.testing.assert_array_equal(tcol_n, greedy_color(t, len(v)))
+
+
+@needs_native
+def test_native_greedy_color_matches():
+    topo = meshes.tet_ball(1, 0.5)
+    cols = native_greedy_color(topo.edges, topo.num_particles)
+    np.testing.assert_array_equal(
+        cols, greedy_color(topo.edges, topo.num_particles))
+
+
+@needs_native
+def test_native_voxelize_matches_numpy():
+    verts, faces = meshes.icosphere(2)
+    nat = native_voxelize(verts, faces, 0.25)
+    py_v, py_t = voxelize_numpy(verts, faces, 0.25)
+    assert nat is not None
+    nv, nt = nat
+    assert len(nv) == len(py_v)
+    assert len(nt) == len(py_t)
+
+    def canon(v):
+        v = np.round(np.asarray(v, np.float64), 5)
+        return v[np.lexsort((v[:, 2], v[:, 1], v[:, 0]))]
+
+    np.testing.assert_allclose(canon(nv), canon(py_v), atol=1e-5)
+
+    def total_vol(v, t):
+        p = np.asarray(v)[np.asarray(t, np.int64)]
+        vols = np.einsum(
+            "ti,ti->t",
+            np.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0]),
+            p[:, 3] - p[:, 0]) / 6.0
+        return float(np.abs(vols).sum())
+
+    assert total_vol(nv, nt) == pytest.approx(total_vol(py_v, py_t), rel=1e-6)
+
+
+def test_voxelize_numpy_cube_volume():
+    """Voxelizing an axis-aligned cube recovers ~its volume."""
+    # closed unit cube surface
+    topo = meshes.tet_cube(1, 1, 1)
+    v, t = voxelize_numpy(topo.vertices, topo.surface_tris, 0.125)
+    assert len(t) > 0
+    p = v[t.astype(np.int64)]
+    vols = np.einsum(
+        "ti,ti->t",
+        np.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0]),
+        p[:, 3] - p[:, 0]) / 6.0
+    total = float(np.abs(vols).sum())
+    assert total == pytest.approx(1.0, rel=0.2)
+
+
+def test_topology_from_mesh_pipeline_simulates():
+    """Full mesh->tets->Topology->simulate pipeline (the TryCreateFromMesh
+    capability)."""
+    from softbodysim_tpu import Engine, SolverParams
+
+    verts, faces = meshes.icosphere(2)
+    verts = verts * 0.4 + np.array([0, 0.8, 0], np.float32)
+    topo = topology_from_mesh(verts, faces, resolution=8)
+    assert topo.num_tets > 50
+    # positive orientation after build_topology
+    p = topo.vertices[topo.tets.astype(np.int64)]
+    vols = np.einsum(
+        "ti,ti->t",
+        np.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0]),
+        p[:, 3] - p[:, 0]) / 6.0
+    assert (vols > 0).all()
+
+    eng = Engine(topo, SolverParams(dialect="xpbd", substeps=2, iterations=4))
+    eng.run(30, 1.0 / 60.0)
+    pos = eng.positions()
+    assert np.isfinite(pos).all()
+    assert pos[:, 1].min() >= -1e-4
+
+
+def test_tetrahedralize_default_cell():
+    verts, faces = meshes.icosphere(1)
+    v, t = tetrahedralize(verts, faces, resolution=6)
+    assert len(t) > 0
+    assert t.max() < len(v)
