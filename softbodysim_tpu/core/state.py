@@ -119,6 +119,10 @@ class SolverParams:
     ground_point: tuple = (0.0, 0.0, 0.0)
     ground_normal: tuple = (0.0, 1.0, 0.0)
 
+    # Pallas fused collide kernel: "auto" (on for non-CPU backends),
+    # "on", or "off".  ~5x the XLA lax.scan collider path on TPU v5e.
+    use_pallas: str = "auto"
+
     # spatial-hash self/inter-body collision (new capability; reference has
     # only brute-force primitive colliders, SoftBodySolver.cs:554-561)
     self_collision: bool = False

@@ -136,12 +136,15 @@ def make_jacobi_step(topology, params: SolverParams,
     has_edges = topology.num_edges > 0
     has_tets = topology.num_tets > 0
 
+    import numpy as _np
+
     gravity_w = jnp.asarray(params.gravity, jnp.float32)
     ground_point = jnp.asarray(params.ground_point, jnp.float32)
-    gn = jnp.asarray(params.ground_normal, jnp.float32)
-    n2 = float(jnp.sum(gn * gn))
-    ground_normal = (gn / jnp.sqrt(n2)) if n2 >= 1e-12 else jnp.array(
-        [0.0, 1.0, 0.0], jnp.float32)
+    gn = _np.asarray(params.ground_normal, _np.float32)
+    n2 = float(_np.dot(gn, gn))
+    ground_normal = jnp.asarray(
+        gn / _np.float32(_np.sqrt(n2)) if n2 >= 1e-12
+        else _np.array([0.0, 1.0, 0.0], _np.float32))
 
     l2w = None if local_to_world is None else jnp.asarray(
         local_to_world, jnp.float32)
@@ -155,6 +158,25 @@ def make_jacobi_step(topology, params: SolverParams,
     self_collide = (make_self_collision_fn(params) if params.self_collision
                     else None)
 
+    # Pallas fused collide: one VMEM-resident pass over ground + all
+    # colliders (kernels/collide.py).  Only on the plain world-space path
+    # (no body transform, no self-collision interleaving).
+    fused_collide = None
+    if do_collide and local_to_world is None and self_collide is None:
+        use = params.use_pallas
+        if use == "auto":
+            import jax as _jax
+
+            use = "on" if _jax.default_backend() != "cpu" else "off"
+        if use == "on":
+            from ..kernels.collide import make_fused_collide
+
+            fused_collide = make_fused_collide(
+                colliders, ground_enabled=params.ground_enabled,
+                ground_point=params.ground_point,
+                ground_normal=params.ground_normal,
+                radius=radius, num_particles=nv)
+
     def to_world(p):
         return p if l2w is None else p @ l2w[:3, :3].T + l2w[:3, 3]
 
@@ -162,6 +184,8 @@ def make_jacobi_step(topology, params: SolverParams,
         return p if w2l is None else p @ w2l[:3, :3].T + w2l[:3, 3]
 
     def solve_collisions(x_pred, inv_mass):
+        if fused_collide is not None:
+            return fused_collide(x_pred, inv_mass)
         pw = to_world(x_pred)
         if params.ground_enabled:
             pw = project_ground_plane(pw, radius, ground_point, ground_normal)
