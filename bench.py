@@ -28,13 +28,16 @@ def main():
     from softbodysim_tpu.core import meshes
     from softbodysim_tpu.parallel import BatchedEngine
 
-    # bunny-scale body, batched -- sized so a step is compute-bound
+    # bunny-scale body, batched -- sized so a step is compute-bound.
+    # batch=128 is the measured throughput peak on v5e (larger batches
+    # fall off the VMEM working-set cliff).
     topo = meshes.tet_cube(10, 10, 10, size=0.8, center=(0.0, 1.0, 0.0))
-    batch = 32
+    batch = 128
     params = SolverParams(
         dialect="jacobi", substeps=2, iterations=6,
         edge_stiffness=0.9, volume_stiffness=0.98, sor_omega=1.4,
-        particle_radius=0.02, gravity=(0.0, -10.0, 0.0))
+        particle_radius=0.02, gravity=(0.0, -10.0, 0.0),
+        jacobi_backend="gather")
 
     eng = BatchedEngine(topo, params, batch=batch, pos_jitter=0.002)
 

@@ -18,6 +18,86 @@ from . import protocol
 from .protocol import InitMessage, WireParams
 
 
+class RemoteWorld:
+    """Asynchronous remote-sim client -- full PBDRemoteWorld parity.
+
+    Reference behavior (PBDRemoteWorld.cs): a background net thread
+    ("PBDRemoteNet", :127-129) owns the socket; the game thread requests
+    steps (one in flight, :201-246); results land in a back buffer swapped
+    under a lock (:235-243); the main thread pumps the front buffer when
+    fresh (:138-147).
+    """
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 7777,
+                 timeout: float = 30.0):
+        import threading
+
+        self._cli = PBDClient(host, port, timeout=timeout)
+        self._lock = threading.Lock()
+        self._step_requested = threading.Event()
+        self._stop = threading.Event()
+        self._front: Optional[np.ndarray] = None
+        self._back: Optional[np.ndarray] = None
+        self._fresh = False
+        self._dt = 1.0 / 60.0
+        self._error: Optional[BaseException] = None
+        self._thread = threading.Thread(
+            target=self._net_loop, name="PBDRemoteNet", daemon=True)
+
+    def init(self, x0, edges, tets, params=None, pinned=None):
+        self._cli.init(x0, edges, tets, params=params, pinned=pinned)
+        self._thread.start()
+        return self
+
+    def _net_loop(self):
+        try:
+            while not self._stop.is_set():
+                if not self._step_requested.wait(timeout=0.05):
+                    continue
+                self._step_requested.clear()
+                dt = self._dt
+                pos = self._cli.step(dt)
+                with self._lock:
+                    self._back = pos
+                    self._front, self._back = self._back, self._front
+                    self._fresh = True
+        except BaseException as e:  # surface net errors to the caller
+            self._error = e
+
+    def request_step(self, dt: float = 1.0 / 60.0) -> bool:
+        """Non-blocking step request; False if one is already in flight."""
+        if self._error:
+            raise self._error
+        if self._step_requested.is_set():
+            return False
+        self._dt = dt
+        self._step_requested.set()
+        return True
+
+    def pump_positions(self) -> Optional[np.ndarray]:
+        """Latest positions if a new frame arrived since the last pump,
+        else None (PumpPositionsToMesh semantics)."""
+        if self._error:
+            raise self._error
+        with self._lock:
+            if not self._fresh:
+                return None
+            self._fresh = False
+            return self._front
+
+    def close(self):
+        self._stop.set()
+        if self._thread.is_alive():
+            self._thread.join(timeout=2.0)
+        self._cli.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 class PBDClient:
     def __init__(self, host: str = "127.0.0.1", port: int = 7777,
                  timeout: float = 30.0):

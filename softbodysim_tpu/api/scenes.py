@@ -1,0 +1,170 @@
+"""The reference's four benchmark scenes as framework presets.
+
+Scene configs from SURVEY.md section 4 (scenes are the reference's only
+"test suite"):
+
+  sample_scene  1 body, MT mode, substeps 2 x iters 6; solver tuning
+                edgeStiffness .7, volumeStiffness 1, omega 1.4, density .2,
+                radius .01                (SampleScene.unity:1139-1147,1208-1215)
+  four_body     4 bodies, GPU mode, dt 1/60       (4fumoTest.unity:1483-1491)
+  extreme_test  24 bodies (16 balls + 8 heavier), GPU mode, per-body
+                edgeStiffness .5, volumeStiffness 1
+                                          (ExtremeTest.unity:163-170,3213-3221)
+  batch_test    20 bodies (10 small balls + 10 x the 8.6k-vertex 'default'
+                mesh), GPU mode                  (BatchTest.unity:2912-2920)
+
+Bodies use the reference's own pre-tetrahedralized Unity assets when the
+reference tree is mounted (io/unity_assets.py), else procedural stand-ins of
+matching scale.  All scenes use the jacobi dialect (the GPU-backend
+contract) with gravity (0,-10,0) like the scenes' manager blocks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..core.state import SolverParams
+from ..core.topology import Topology
+from ..core import meshes
+from ..collide.primitives import Colliders
+from .world import Body, World
+
+REFERENCE_GEN = "/root/reference/Assets/SoftBody/Generated"
+
+
+@dataclasses.dataclass
+class Scene:
+    name: str
+    bodies: List[Tuple[str, Topology, SolverParams, dict]]
+    colliders: List[dict]
+    substeps: int = 2
+    iterations: int = 6
+
+    def build_world(self, fixed_dt: float = 1.0 / 60.0) -> World:
+        world = World(fixed_dt=fixed_dt)
+        for item in self.colliders:
+            world.add_collider(item)
+        for name, topo, params, kw in self.bodies:
+            world.register(Body(topo, params, name=name, **kw))
+        return world
+
+
+def _asset(name: str) -> Optional[Topology]:
+    from ..io.unity_assets import load_tet_asset
+
+    path = os.path.join(REFERENCE_GEN, name)
+    if os.path.exists(path):
+        return load_tet_asset(path)
+    return None
+
+
+def _bunny(center) -> Topology:
+    t = _asset("Bunny-LowPoly_Tet 1.asset")
+    if t is None:
+        t = meshes.tet_ball(2, 0.3, (0, 0, 0))
+    return _recenter(t, center)
+
+
+def _ball_small(center) -> Topology:
+    t = _asset("Icosphere_Tet.asset")
+    if t is None:
+        t = meshes.tet_ball(2, 0.25, (0, 0, 0))
+    return _recenter(t, center)
+
+
+def _ball_large(center) -> Topology:
+    t = _asset("Icosphere.001_Tet.asset")
+    if t is None:
+        t = meshes.tet_ball(3, 0.4, (0, 0, 0))
+    return _recenter(t, center)
+
+
+def _default_mesh(center) -> Topology:
+    t = _asset("default_Tet 10.asset")
+    if t is None:
+        t = meshes.tet_cube(12, 12, 12, 0.8, (0, 0, 0))
+    return _recenter(t, center)
+
+
+def _recenter(t: Topology, center) -> Topology:
+    from ..core.topology import build_topology
+
+    c = t.vertices.mean(axis=0)
+    verts = t.vertices - c + np.asarray(center, np.float32)
+    return build_topology(verts, t.tets.astype(np.int64), edges=t.edges,
+                          surface_tris=t.surface_tris, orient=False)
+
+
+def _params(edge=0.9, vol=0.98, omega=1.4, radius=0.02, substeps=2, iters=6):
+    return SolverParams(
+        dialect="jacobi", substeps=substeps, iterations=iters,
+        edge_stiffness=edge, volume_stiffness=vol, sor_omega=omega,
+        particle_radius=radius, gravity=(0.0, -10.0, 0.0))
+
+
+def _grid_positions(n: int, spacing: float = 0.9, height: float = 1.2):
+    side = int(np.ceil(np.sqrt(n)))
+    out = []
+    for i in range(n):
+        r, c = divmod(i, side)
+        out.append(((c - side / 2) * spacing, height + 0.5 * (i % 3),
+                    (r - side / 2) * spacing))
+    return out
+
+
+def sample_scene() -> Scene:
+    p = _params(edge=0.7, vol=1.0, omega=1.4, radius=0.01)
+    return Scene(
+        name="SampleScene",
+        bodies=[("fumo", _bunny((0.0, 1.0, 0.0)), p, {"density": 0.2})],
+        colliders=[Colliders.box((0.0, 0.1, 0.0), (0.6, 0.1, 0.6))],
+    )
+
+
+def four_body_test() -> Scene:
+    p = _params()
+    bodies = [
+        (f"fumo{i}", _bunny(pos), p, {})
+        for i, pos in enumerate(_grid_positions(4, spacing=1.0))
+    ]
+    return Scene(
+        name="4fumoTest", bodies=bodies,
+        colliders=[Colliders.box((0.0, 0.1, 0.0), (1.5, 0.1, 1.5))])
+
+
+def extreme_test() -> Scene:
+    p = _params(edge=0.5, vol=1.0)
+    positions = _grid_positions(24, spacing=0.8, height=1.5)
+    bodies = []
+    for i, pos in enumerate(positions):
+        if i < 16:
+            bodies.append((f"ball{i}", _ball_small(pos), p, {}))
+        else:
+            bodies.append((f"cirno{i}", _bunny(pos), p, {}))
+    return Scene(
+        name="ExtremeTest", bodies=bodies,
+        colliders=[Colliders.box((0.0, 0.1, 0.0), (2.5, 0.1, 2.5))])
+
+
+def batch_test() -> Scene:
+    p = _params()
+    positions = _grid_positions(20, spacing=1.4, height=2.0)
+    bodies = []
+    for i, pos in enumerate(positions):
+        if i < 10:
+            bodies.append((f"ball{i}", _ball_small(pos), p, {}))
+        else:
+            bodies.append((f"big{i}", _default_mesh(pos), p, {}))
+    return Scene(name="BatchTest", bodies=bodies, colliders=[])
+
+
+ALL_SCENES = {
+    "sample": sample_scene,
+    "4fumo": four_body_test,
+    "extreme": extreme_test,
+    "batch": batch_test,
+}

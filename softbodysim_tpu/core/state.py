@@ -123,6 +123,12 @@ class SolverParams:
     # "on", or "off".  ~5x the XLA lax.scan collider path on TPU v5e.
     use_pallas: str = "auto"
 
+    # Jacobi constraint backend: "segment" (segment_sum scatter; MXU
+    # one-hot matmul regime, fast for small V), "gather" (padded-adjacency
+    # per-particle walk, the reference GPU-kernel formulation; fast for
+    # large V), or "auto" (pick by particle count).
+    jacobi_backend: str = "auto"
+
     # spatial-hash self/inter-body collision (new capability; reference has
     # only brute-force primitive colliders, SoftBodySolver.cs:554-561)
     self_collision: bool = False

@@ -27,6 +27,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.state import SimState, SolverParams, tet_signed_volume
 from ..collide.primitives import (
@@ -108,6 +109,75 @@ def tet_jacobi_deltas(x_pred, inv_mass, tets, tet_rest_vol, stiffness, nv):
     return delta, cnt
 
 
+def edge_gather_deltas(x_pred, inv_mass, other, rest_p, mask, stiffness):
+    """Padded-gather form of edge_jacobi_deltas -- the K_EdgeGather walk
+    (SoftBodyCompute.compute:243-274): per particle, reduce over its padded
+    neighbor row.  No scatters; on TPU this is the fast path for large V
+    (XLA's scatter lowering degrades past the one-hot-matmul regime).
+    """
+    xj = x_pred[other]                       # (V, D, 3)
+    wi = inv_mass[:, None]
+    wj = inv_mass[other]
+    w = wi + wj
+    d = x_pred[:, None, :] - xj
+    len2 = jnp.sum(d * d, axis=-1)
+    valid = mask & (w != 0.0) & (len2 >= 1e-18)
+    ln = jnp.sqrt(jnp.maximum(len2, 1e-30))
+    c = ln - rest_p
+    n = d / ln[..., None]
+    lam = jnp.where(valid, -stiffness * (c / jnp.where(w == 0.0, 1.0, w)),
+                    0.0)
+    delta = jnp.sum(n * (lam * wi)[..., None], axis=1)
+    cnt = jnp.sum(valid, axis=1, dtype=jnp.int32)
+    return delta, cnt
+
+
+def tet_gather_deltas(x_pred, inv_mass, tets, tet_rest_vol, slot, tidx, mask,
+                      stiffness):
+    """Two-phase gather form of tet_jacobi_deltas (K_VolumeGather semantics,
+    SoftBodyCompute.compute:294-370) without scatters:
+
+      phase A (per tet): gradients + lambda computed ONCE per tet, packed
+        role-major into a (4T, 3) table glam[role*T + t] = g_role * lambda;
+      phase B (per particle): one padded ROW gather of that table via the
+        precomputed slot = role*T + tidx (V, D) indices, masked row-sum.
+
+    1.4x the segment_sum path on TPU v5e (row gathers are the one
+    gather/scatter shape XLA lowers well); numerically identical up to fp
+    association (<=2e-8 observed).
+    """
+    t_count = tet_rest_vol.shape[0]
+    a, b, c_, d_ = tets[:, 0], tets[:, 1], tets[:, 2], tets[:, 3]
+    pa, pb, pc, pd = x_pred[a], x_pred[b], x_pred[c_], x_pred[d_]
+    wa, wb, wc, wd = inv_mass[a], inv_mass[b], inv_mass[c_], inv_mass[d_]
+
+    ga = jnp.cross(pd - pb, pc - pb) / 6.0
+    gb = jnp.cross(pc - pa, pd - pa) / 6.0
+    gc = jnp.cross(pd - pa, pb - pa) / 6.0
+    gd = jnp.cross(pb - pa, pc - pa) / 6.0
+    wsum = (wa * jnp.sum(ga * ga, -1) + wb * jnp.sum(gb * gb, -1)
+            + wc * jnp.sum(gc * gc, -1) + wd * jnp.sum(gd * gd, -1))
+    valid = ((wa + wb + wc + wd) != 0.0) & (wsum >= 1e-20)
+    vol = tet_signed_volume(pa, pb, pc, pd)
+    c = vol - tet_rest_vol
+    lam = jnp.where(
+        valid, -stiffness * (c / jnp.where(wsum == 0.0, 1.0, wsum)), 0.0)
+
+    glam = jnp.concatenate(
+        [ga * lam[:, None], gb * lam[:, None],
+         gc * lam[:, None], gd * lam[:, None]], axis=0)    # (4T, 3)
+
+    rows = glam[slot]                                      # (V, D, 3)
+    m = jnp.where(mask, 1.0, 0.0)[..., None]
+    delta = jnp.sum(rows * m, axis=1) * inv_mass[:, None]
+
+    wi = inv_mass[:, None]
+    cnt = jnp.sum(valid[tidx] & mask & (wi != 0.0), axis=1,
+                  dtype=jnp.int32)
+    del t_count
+    return delta, cnt
+
+
 def apply_delta(x_pred, inv_mass, delta, cnt, omega):
     """x += (omega / cnt) * delta for free particles with cnt > 0
     (SoftBodySolver.cs:521-527)."""
@@ -136,15 +206,40 @@ def make_jacobi_step(topology, params: SolverParams,
     has_edges = topology.num_edges > 0
     has_tets = topology.num_tets > 0
 
-    import numpy as _np
+    # Backend: 'segment' lowers segment_sum to a one-hot matmul (MXU) for
+    # small V; past that regime XLA's scatter path serializes, so large
+    # scenes use the padded-gather walk (the reference's own GPU-kernel
+    # formulation).  Threshold measured on TPU v5e.
+    backend = params.jacobi_backend
+    if backend == "auto":
+        # measured on v5e (fused 20-step programs): gather beats segment at
+        # every scale tried -- 1.27x at V=1331, 1.26x at V=4096, 1.12x at
+        # V=15625, 1.69x on a 32-scene vmapped batch
+        backend = "gather"
+    if backend == "gather":
+        from ..core.adjacency import (
+            padded_edge_adjacency, padded_tet_adjacency)
+
+        if has_edges:
+            e_other, e_eidx, e_mask = padded_edge_adjacency(
+                nv, topology.edges)
+            e_other = jnp.asarray(e_other)
+            e_rest_p = jnp.asarray(topology.edge_rest[e_eidx], jnp.float32)
+            e_mask = jnp.asarray(e_mask)
+        if has_tets:
+            t_tidx, t_role, t_mask = padded_tet_adjacency(nv, topology.tets)
+            t_slot = jnp.asarray(
+                t_role.astype(np.int64) * topology.num_tets + t_tidx)
+            t_tidx = jnp.asarray(t_tidx)
+            t_mask = jnp.asarray(t_mask)
 
     gravity_w = jnp.asarray(params.gravity, jnp.float32)
     ground_point = jnp.asarray(params.ground_point, jnp.float32)
-    gn = _np.asarray(params.ground_normal, _np.float32)
-    n2 = float(_np.dot(gn, gn))
+    gn = np.asarray(params.ground_normal, np.float32)
+    n2 = float(np.dot(gn, gn))
     ground_normal = jnp.asarray(
-        gn / _np.float32(_np.sqrt(n2)) if n2 >= 1e-12
-        else _np.array([0.0, 1.0, 0.0], _np.float32))
+        gn / np.float32(np.sqrt(n2)) if n2 >= 1e-12
+        else np.array([0.0, 1.0, 0.0], np.float32))
 
     l2w = None if local_to_world is None else jnp.asarray(
         local_to_world, jnp.float32)
@@ -201,12 +296,21 @@ def make_jacobi_step(topology, params: SolverParams,
         # overrides under vmap (randomized-stiffness datagen, BASELINE #5)
         x_pred, inv_mass, k_edge, k_vol, omega = carry
         if has_edges:
-            delta, cnt = edge_jacobi_deltas(
-                x_pred, inv_mass, edges, edge_rest, k_edge, nv)
+            if backend == "gather":
+                delta, cnt = edge_gather_deltas(
+                    x_pred, inv_mass, e_other, e_rest_p, e_mask, k_edge)
+            else:
+                delta, cnt = edge_jacobi_deltas(
+                    x_pred, inv_mass, edges, edge_rest, k_edge, nv)
             x_pred = apply_delta(x_pred, inv_mass, delta, cnt, omega)
         if has_tets:
-            delta, cnt = tet_jacobi_deltas(
-                x_pred, inv_mass, tets, tet_rest_vol, k_vol, nv)
+            if backend == "gather":
+                delta, cnt = tet_gather_deltas(
+                    x_pred, inv_mass, tets, tet_rest_vol, t_slot, t_tidx,
+                    t_mask, k_vol)
+            else:
+                delta, cnt = tet_jacobi_deltas(
+                    x_pred, inv_mass, tets, tet_rest_vol, k_vol, nv)
             x_pred = apply_delta(x_pred, inv_mass, delta, cnt, omega)
         if do_collide or self_collide is not None:
             x_pred = solve_collisions(x_pred, inv_mass)

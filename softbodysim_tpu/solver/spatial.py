@@ -58,9 +58,16 @@ def self_collision_deltas(p, inv_mass, radius, cell_size, max_per_cell):
     order = jnp.argsort(hashes)
     sorted_hash = hashes[order]
 
-    # For each particle and each of its 27 neighbor cells: candidate window
+    # For each particle and each of its 27 neighbor cells: candidate window.
+    # Distinct neighbor cells may collide to the same hash slot -- their
+    # windows would then be identical and double-count candidates, so sort
+    # the 27 hashes per particle and invalidate duplicates (identical hash
+    # => identical window, dropping repeats is exact).
     neighbor_cells = cells[:, None, :] + jnp.asarray(_OFFSETS)[None, :, :]
     nh = _cell_hash(neighbor_cells, table_size)            # (N, 27)
+    nh = jnp.sort(nh, axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((n, 1), bool), nh[:, 1:] == nh[:, :-1]], axis=1)
 
     start = jnp.searchsorted(sorted_hash, nh.reshape(-1), side="left")
     end = jnp.searchsorted(sorted_hash, nh.reshape(-1), side="right")
@@ -69,7 +76,7 @@ def self_collision_deltas(p, inv_mass, radius, cell_size, max_per_cell):
 
     slot = jnp.arange(max_per_cell, dtype=jnp.int32)        # (M,)
     cand_pos = start[:, :, None] + slot[None, None, :]      # (N, 27, M)
-    cand_valid = cand_pos < end[:, :, None]
+    cand_valid = (cand_pos < end[:, :, None]) & (~dup[:, :, None])
     cand_pos = jnp.clip(cand_pos, 0, n - 1)
     cand = order[cand_pos]                                  # particle ids
 

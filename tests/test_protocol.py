@@ -81,6 +81,37 @@ def test_loopback_pinned_and_params():
         assert (pos[free, 1] < topo.vertices[free, 1]).any()
 
 
+def test_remote_world_async_pipeline():
+    """RemoteWorld: background net thread, one-in-flight, pump semantics."""
+    import time
+
+    from softbodysim_tpu.api.client import RemoteWorld
+
+    topo = meshes.tet_cube(2, 2, 2, center=(0.0, 0.6, 0.0))
+    srv = PBDServer(port=0, verbose=False).start_background().wait_ready()
+    with RemoteWorld(port=srv.port) as rw:
+        rw.init(topo.vertices, topo.edges, topo.tets,
+                params=WireParams(substeps=1, iterations=4))
+        frames = 0
+        deadline = time.time() + 30.0
+        requested = rw.request_step(DT)
+        assert requested
+        last = None
+        while frames < 10 and time.time() < deadline:
+            pos = rw.pump_positions()
+            if pos is not None:
+                frames += 1
+                last = pos
+                rw.request_step(DT)
+            else:
+                time.sleep(0.001)
+        assert frames == 10
+        assert last.shape == (topo.num_particles, 3)
+        assert np.isfinite(last).all()
+        # body fell
+        assert last[:, 1].mean() < topo.vertices[:, 1].mean()
+
+
 def test_step_before_init_is_ignored_then_session_continues():
     topo = meshes.single_tet()
     srv = PBDServer(port=0, verbose=False).start_background().wait_ready()

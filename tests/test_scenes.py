@@ -1,0 +1,47 @@
+"""Reference scene presets (SampleScene / 4fumoTest / ExtremeTest /
+BatchTest analogs)."""
+
+import numpy as np
+import pytest
+
+from softbodysim_tpu.api.scenes import (
+    batch_test, extreme_test, four_body_test, sample_scene)
+
+
+def test_sample_scene_runs():
+    scene = sample_scene()
+    assert len(scene.bodies) == 1
+    world = scene.build_world()
+    for _ in range(20):
+        world.step()
+    pos = world.positions()["fumo"]
+    assert np.isfinite(pos).all()
+
+
+def test_four_body_layout():
+    scene = four_body_test()
+    assert len(scene.bodies) == 4
+    # distinct drop positions
+    centers = [t.vertices.mean(axis=0) for _, t, _, _ in scene.bodies]
+    d01 = np.linalg.norm(centers[0] - centers[1])
+    assert d01 > 0.5
+
+
+def test_extreme_test_composition():
+    scene = extreme_test()
+    assert len(scene.bodies) == 24
+    names = [n for n, _, _, _ in scene.bodies]
+    assert sum(n.startswith("ball") for n in names) == 16
+    assert sum(n.startswith("cirno") for n in names) == 8
+    p = scene.bodies[0][2]
+    assert p.edge_stiffness == pytest.approx(0.5)
+    assert p.volume_stiffness == pytest.approx(1.0)
+
+
+def test_batch_test_composition():
+    scene = batch_test()
+    assert len(scene.bodies) == 20
+    total_particles = sum(t.num_particles for _, t, _, _ in scene.bodies)
+    # with reference assets: 10*162 + 10*8613 ~= 87k particles (SURVEY:
+    # "~90k particles scene-wide"); procedural fallback is smaller
+    assert total_particles > 10_000
