@@ -75,3 +75,21 @@ class Engine:
     def block(self) -> "Engine":
         jax.block_until_ready(self.state.x)
         return self
+
+    def switch_params(self, params: SolverParams,
+                      colliders: Optional[Colliders] = "unchanged",
+                      **solver_kw) -> "Engine":
+        """Swap solver configuration mid-run, preserving the dynamic state
+        -- the analog of the reference's runtime CPU<->GPU mode migration
+        (SoftBodySolver.cs:237-253, which round-trips the same state arrays
+        between backends).  Dialect, backend, stiffness, iteration counts
+        etc. can all change; the state pytree (x, v, lambdas) carries over
+        verbatim.  Triggers a re-jit on the next step."""
+        if colliders == "unchanged":
+            colliders = self.colliders
+        self.params = params
+        self.colliders = colliders
+        self._raw_step = make_step(self.topology, params,
+                                   colliders=colliders, **solver_kw)
+        self._step = jax.jit(self._raw_step, donate_argnums=0)
+        return self

@@ -129,6 +129,12 @@ class SolverParams:
     # large V), or "auto" (pick by particle count).
     jacobi_backend: str = "auto"
 
+    # XPBD colored-sweep backend: "scatter" (padded color groups under
+    # lax.scan with scatter-adds) or "gather" (color-major constraint
+    # layout: contiguous lambda slices + per-color correction-table row
+    # gathers).  "auto" == gather.
+    xpbd_backend: str = "auto"
+
     # spatial-hash self/inter-body collision (new capability; reference has
     # only brute-force primitive colliders, SoftBodySolver.cs:554-561)
     self_collision: bool = False

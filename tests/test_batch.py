@@ -24,7 +24,8 @@ def test_batched_equals_single():
     bpos = beng.positions()
     spos = seng.positions()
     for b in range(3):
-        np.testing.assert_allclose(bpos[b], spos, atol=1e-6)
+        # vmapped and single programs reassociate fp slightly differently
+        np.testing.assert_allclose(bpos[b], spos, atol=5e-6)
 
 
 def test_randomized_stiffness_diversifies():

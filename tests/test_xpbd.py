@@ -111,6 +111,21 @@ def test_volume_preservation_incompressible():
     assert float(np.sum(vols)) == pytest.approx(rest_total, rel=0.05)
 
 
+def test_xpbd_backends_agree():
+    """Color-major gather backend must track the padded-scatter backend
+    closely (identical math/order; only fp association differs)."""
+    topo = meshes.tet_cube(2, 2, 2, size=0.5, center=(0.0, 0.8, 0.0))
+    base = SolverParams(dialect="xpbd", substeps=2, iterations=6)
+    a = Engine(topo, base.replace(xpbd_backend="scatter"))
+    b = Engine(topo, base.replace(xpbd_backend="gather"))
+    for _ in range(60):
+        a.step(DT)
+        b.step(DT)
+    np.testing.assert_allclose(a.positions(), b.positions(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.state.edge_lambda),
+                               np.asarray(b.state.edge_lambda), atol=1e-4)
+
+
 def test_step_is_jittable_and_donatable():
     topo = meshes.tet_cube(2, 2, 2)
     params = SolverParams(dialect="xpbd")
