@@ -175,6 +175,265 @@ def make_mesh_sharded_step(topology: Topology, params: SolverParams,
     return step
 
 
+def make_xpbd_sharded_step(topology: Topology, params: SolverParams,
+                           mesh: Mesh,
+                           data_axis: str = "data",
+                           model_axis: str = "model"):
+    """XPBD (server contract) over a (data, model) mesh.
+
+    Model-axis sharding of colored Gauss-Seidel: each color's constraints
+    are split evenly across the model axis (padded with degenerate
+    constraints that fail the solver guards).  Per color, every device
+    computes the corrections for its chunk, builds its local (V, 3)
+    correction-table row gather, and a ``psum`` over the model axis
+    reassembles the full update -- legal because constraints within a color
+    are vertex-disjoint, so cross-device contributions never overlap (the
+    psum is a disjoint union, not an accumulation conflict).
+
+    Lambdas live sharded along the model axis in a device-chunked
+    color-major permutation; the public state's lambda ordering is NOT
+    preserved inside this step (use engine-level checkpointing around it).
+    Scene batch is sharded along ``data_axis`` like the jacobi variant.
+    """
+    import numpy as np_
+
+    nm = mesh.shape[model_axis]
+    nv = topology.num_particles
+    gravity = jnp.asarray(params.gravity, jnp.float32)
+
+    from ..solver.xpbd import (_color_slices, _vertex_slot_map, commit,
+                               predict, project_ground)
+    from ..core.state import SimState as _SimState
+
+    def build_family(cons, rest, groups, arity):
+        """Device-chunked color-major layout for one constraint family.
+
+        Returns dict with per-device stacked arrays (leading dim nm, to be
+        sharded on the model axis): constraint vertex ids (nm, L, arity),
+        rest (nm, L), per-color local slices [(s, e)], and per-color
+        per-device vertex->slot maps stacked (nm, V).
+        """
+        order, slices = _color_slices(groups)
+        cons_cm = cons[order]
+        rest_cm = rest[order]
+        dev_cons = [[] for _ in range(nm)]
+        dev_rest = [[] for _ in range(nm)]
+        local_slices = []
+        vslots = []  # per color: (nm, V)
+        pos = 0
+        pad_row = np_.zeros((arity,), np_.int64)  # degenerate: all-zero ids
+        for (s, e) in slices:
+            kc = e - s
+            kc_local = -(-kc // nm)
+            local_slices.append((pos, pos + kc_local))
+            pos += kc_local
+            color_vslots = []
+            for d in range(nm):
+                lo = min(e, s + d * kc_local)
+                hi = min(e, lo + kc_local)
+                chunk = cons_cm[lo:hi]
+                crest = rest_cm[lo:hi]
+                pad = kc_local - len(chunk)
+                if pad:
+                    chunk = np_.concatenate(
+                        [chunk, np_.tile(pad_row, (pad, 1))], 0)
+                    crest = np_.concatenate(
+                        [crest, np_.zeros((pad,), crest.dtype)])
+                dev_cons[d].append(chunk)
+                dev_rest[d].append(crest)
+                color_vslots.append(_vertex_slot_map(
+                    nv, chunk[: kc_local - pad], arity, kc_local))
+            vslots.append(np_.stack(color_vslots, 0))
+        return {
+            "cons": jnp.asarray(np_.stack(
+                [np_.concatenate(c, 0) for c in dev_cons], 0), jnp.int32),
+            "rest": jnp.asarray(np_.stack(
+                [np_.concatenate(r, 0) for r in dev_rest], 0), jnp.float32),
+            "slices": local_slices,
+            "vslots": [jnp.asarray(v) for v in vslots],
+            "total_local": pos,
+        }
+
+    has_edges = topology.num_edges > 0
+    has_tets = topology.num_tets > 0
+    efam = build_family(topology.edges.astype(np_.int64),
+                        topology.edge_rest, topology.edge_colors, 2
+                        ) if has_edges else None
+    tfam = build_family(topology.tets.astype(np_.int64),
+                        topology.tet_rest_vol, topology.tet_colors, 4
+                        ) if has_tets else None
+
+    def edge_color_local(x_star, lam_loc, inv_mass, cons, rest, vslot,
+                         s, e, alpha):
+        i0 = jax.lax.slice_in_dim(cons[:, 0], s, e)
+        i1 = jax.lax.slice_in_dim(cons[:, 1], s, e)
+        w0 = inv_mass[i0]
+        w1 = inv_mass[i1]
+        ws = w0 + w1
+        d = x_star[i0] - x_star[i1]
+        ln = jnp.sqrt(jnp.sum(d * d, -1))
+        valid = (ws != 0.0) & (ln >= 1e-12)
+        c = ln - jax.lax.slice_in_dim(rest, s, e)
+        lam = jax.lax.slice_in_dim(lam_loc, s, e)
+        denom = ws + alpha
+        dlam = jnp.where(
+            valid, (-c - alpha * lam) / jnp.where(denom == 0.0, 1.0, denom),
+            0.0)
+        n = d * (1.0 / jnp.where(ln < 1e-12, 1.0, ln))[:, None]
+        corr = n * dlam[:, None]
+        rows = jnp.concatenate(
+            [corr * w0[:, None], -corr * w1[:, None],
+             jnp.zeros((1, 3), x_star.dtype)], 0)
+        upd = jax.lax.psum(rows[vslot], model_axis)
+        x_star = x_star + upd
+        lam_loc = jax.lax.dynamic_update_slice_in_dim(
+            lam_loc, lam + dlam, s, 0)
+        return x_star, lam_loc
+
+    def tet_color_local(x_star, lam_loc, inv_mass, cons, rest, vslot,
+                        s, e, alpha):
+        a = jax.lax.slice_in_dim(cons[:, 0], s, e)
+        b = jax.lax.slice_in_dim(cons[:, 1], s, e)
+        c_ = jax.lax.slice_in_dim(cons[:, 2], s, e)
+        d_ = jax.lax.slice_in_dim(cons[:, 3], s, e)
+        wa, wb, wc, wd = inv_mass[a], inv_mass[b], inv_mass[c_], inv_mass[d_]
+        pa, pb, pc, pd = x_star[a], x_star[b], x_star[c_], x_star[d_]
+        ga = jnp.cross(pd - pb, pc - pb) * (1.0 / 6.0)
+        gb = jnp.cross(pc - pa, pd - pa) * (1.0 / 6.0)
+        gc = jnp.cross(pd - pa, pb - pa) * (1.0 / 6.0)
+        gd = jnp.cross(pb - pa, pc - pa) * (1.0 / 6.0)
+        ws = (wa * jnp.sum(ga * ga, -1) + wb * jnp.sum(gb * gb, -1)
+              + wc * jnp.sum(gc * gc, -1) + wd * jnp.sum(gd * gd, -1))
+        valid = ((wa + wb + wc + wd) != 0.0) & (ws >= 1e-20)
+        from ..core.state import tet_signed_volume
+        vol = tet_signed_volume(pa, pb, pc, pd)
+        cfn = vol - jax.lax.slice_in_dim(rest, s, e)
+        lam = jax.lax.slice_in_dim(lam_loc, s, e)
+        denom = ws + alpha
+        dlam = jnp.where(
+            valid,
+            (-cfn - alpha * lam) / jnp.where(denom == 0.0, 1.0, denom), 0.0)
+        rows = jnp.concatenate(
+            [ga * (wa * dlam)[:, None], gb * (wb * dlam)[:, None],
+             gc * (wc * dlam)[:, None], gd * (wd * dlam)[:, None],
+             jnp.zeros((1, 3), x_star.dtype)], 0)
+        x_star = x_star + jax.lax.psum(rows[vslot], model_axis)
+        lam_loc = jax.lax.dynamic_update_slice_in_dim(
+            lam_loc, lam + dlam, s, 0)
+        return x_star, lam_loc
+
+    inv_dt2_of = lambda sdt: jnp.where(sdt > 1e-12, 1.0 / (sdt * sdt), 0.0)
+
+    def local_scene_step(state, sdt, e_cons, e_rest, e_vslots,
+                         t_cons, t_rest, t_vslots):
+        e_alpha = max(0.0, params.edge_compliance) * inv_dt2_of(sdt)
+        t_alpha = max(0.0, params.volume_compliance) * inv_dt2_of(sdt)
+
+        def substep(st, _):
+            st = predict(st, gravity, sdt)
+            x_star = st.x_star
+            e_lam = st.edge_lambda
+            t_lam = st.tet_lambda
+
+            def iteration(carry, _):
+                xs, el, tl = carry
+                if has_edges:
+                    for (s, e), vs in zip(efam["slices"], e_vslots):
+                        xs, el = edge_color_local(
+                            xs, el, st.inv_mass, e_cons, e_rest, vs, s, e,
+                            e_alpha)
+                if has_tets:
+                    for (s, e), vs in zip(tfam["slices"], t_vslots):
+                        xs, tl = tet_color_local(
+                            xs, tl, st.inv_mass, t_cons, t_rest, vs, s, e,
+                            t_alpha)
+                if params.ground_enabled:
+                    xs = project_ground(xs, st.inv_mass, params.ground_y)
+                return (xs, el, tl), None
+
+            (x_star, e_lam, t_lam), _ = jax.lax.scan(
+                iteration, (x_star, e_lam, t_lam), None,
+                length=params.iterations)
+            st = _SimState(x=st.x, v=st.v, x_star=x_star,
+                           inv_mass=st.inv_mass, edge_lambda=e_lam,
+                           tet_lambda=t_lam)
+            return commit(st, params, sdt), None
+
+        state, _ = jax.lax.scan(substep, state, None,
+                                length=max(1, params.substeps))
+        return state
+
+    n_e_colors = len(efam["slices"]) if has_edges else 0
+    n_t_colors = len(tfam["slices"]) if has_tets else 0
+
+    def shard_body(state_local, dt, e_cons, e_rest, t_cons, t_rest,
+                   *vslot_args):
+        # sharded args arrive with their leading device dim stripped by
+        # shard_map when spec is P(model_axis) on axis 0
+        e_vs = vslot_args[:n_e_colors]
+        t_vs = vslot_args[n_e_colors:]
+        sdt = jnp.asarray(dt, jnp.float32) / max(1, params.substeps)
+        return jax.vmap(
+            lambda s: local_scene_step(
+                s, sdt, e_cons, e_rest, e_vs, t_cons, t_rest, t_vs)
+        )(state_local)
+
+    # state: batch axis sharded over data; lambdas sharded over model
+    # (device-chunked color-major layout -- see build_state below)
+    state_spec = _SimState(
+        x=P(data_axis), v=P(data_axis), x_star=P(data_axis),
+        inv_mass=P(data_axis),
+        edge_lambda=P(data_axis, model_axis),
+        tet_lambda=P(data_axis, model_axis))
+    cons_spec = P(model_axis)
+
+    zero2 = jnp.zeros((nm, 1, 2), jnp.int32)
+    zero4 = jnp.zeros((nm, 1, 4), jnp.int32)
+    zerof = jnp.zeros((nm, 1), jnp.float32)
+    e_cons_j = efam["cons"] if has_edges else zero2
+    e_rest_j = efam["rest"] if has_edges else zerof
+    t_cons_j = tfam["cons"] if has_tets else zero4
+    t_rest_j = tfam["rest"] if has_tets else zerof
+    vslot_specs = tuple(P(model_axis)
+                        for _ in range(n_e_colors + n_t_colors))
+    vslot_args = tuple((efam["vslots"] if has_edges else [])
+                       + (tfam["vslots"] if has_tets else []))  # each (nm, V)
+
+    sharded = jax.shard_map(
+        lambda st, dt, ec, er, tc, tr, *vs: shard_body(
+            st, dt, ec[0], er[0], tc[0], tr[0],
+            *[v[0] for v in vs]),
+        mesh=mesh,
+        in_specs=(state_spec, P(), cons_spec, cons_spec, cons_spec,
+                  cons_spec) + vslot_specs,
+        out_specs=state_spec,
+        check_vma=False,
+    )
+
+    e_total = efam["total_local"] * nm if has_edges else 0
+    t_total = tfam["total_local"] * nm if has_tets else 0
+
+    def build_state(batch: int):
+        """Batched state with lambdas in the device-chunked layout (zeros,
+        as at init -- Server.cpp INIT semantics)."""
+        from ..core.state import init_state
+        base = init_state(topology, inv_mass_mode="tet")
+        st = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a, (batch,) + a.shape), base)
+        return _SimState(
+            x=jnp.array(st.x), v=jnp.array(st.v),
+            x_star=jnp.array(st.x_star), inv_mass=jnp.array(st.inv_mass),
+            edge_lambda=jnp.zeros((batch, max(e_total, nm)), jnp.float32),
+            tet_lambda=jnp.zeros((batch, max(t_total, nm)), jnp.float32))
+
+    def step(state_batched, dt):
+        return sharded(state_batched, jnp.asarray(dt, jnp.float32),
+                       e_cons_j, e_rest_j, t_cons_j, t_rest_j, *vslot_args)
+
+    step.build_state = build_state
+    return step
+
+
 def make_data_parallel_step(topology: Topology, params: SolverParams,
                             mesh: Mesh,
                             colliders: Optional[Colliders] = None,
