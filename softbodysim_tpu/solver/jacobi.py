@@ -109,17 +109,23 @@ def tet_jacobi_deltas(x_pred, inv_mass, tets, tet_rest_vol, stiffness, nv):
     return delta, cnt
 
 
-def edge_gather_deltas(x_pred, inv_mass, other, rest_p, mask, stiffness):
+def edge_gather_deltas(x_pred, inv_mass, other, rest_p, mask, stiffness,
+                       vids=None):
     """Padded-gather form of edge_jacobi_deltas -- the K_EdgeGather walk
     (SoftBodyCompute.compute:243-274): per particle, reduce over its padded
     neighbor row.  No scatters; on TPU this is the fast path for large V
     (XLA's scatter lowering degrades past the one-hot-matmul regime).
+
+    vids: optional (N,) vertex ids when the rows cover a degree bucket
+    instead of all vertices (core/adjacency.bucketize_padded).
     """
-    xj = x_pred[other]                       # (V, D, 3)
-    wi = inv_mass[:, None]
+    xi = x_pred if vids is None else x_pred[vids]
+    wi_v = inv_mass if vids is None else inv_mass[vids]
+    xj = x_pred[other]                       # (N, D, 3)
+    wi = wi_v[:, None]
     wj = inv_mass[other]
     w = wi + wj
-    d = x_pred[:, None, :] - xj
+    d = xi[:, None, :] - xj
     len2 = jnp.sum(d * d, axis=-1)
     valid = mask & (w != 0.0) & (len2 >= 1e-18)
     ln = jnp.sqrt(jnp.maximum(len2, 1e-30))
@@ -132,21 +138,9 @@ def edge_gather_deltas(x_pred, inv_mass, other, rest_p, mask, stiffness):
     return delta, cnt
 
 
-def tet_gather_deltas(x_pred, inv_mass, tets, tet_rest_vol, slot, tidx, mask,
-                      stiffness):
-    """Two-phase gather form of tet_jacobi_deltas (K_VolumeGather semantics,
-    SoftBodyCompute.compute:294-370) without scatters:
-
-      phase A (per tet): gradients + lambda computed ONCE per tet, packed
-        role-major into a (4T, 3) table glam[role*T + t] = g_role * lambda;
-      phase B (per particle): one padded ROW gather of that table via the
-        precomputed slot = role*T + tidx (V, D) indices, masked row-sum.
-
-    1.4x the segment_sum path on TPU v5e (row gathers are the one
-    gather/scatter shape XLA lowers well); numerically identical up to fp
-    association (<=2e-8 observed).
-    """
-    t_count = tet_rest_vol.shape[0]
+def tet_phase_a(x_pred, inv_mass, tets, tet_rest_vol, stiffness):
+    """Per-tet XPBD-style gradients + Jacobi lambda, packed role-major:
+    returns (glam (4T, 3) with glam[r*T+t] = g_r(t)*lambda(t), valid (T,))."""
     a, b, c_, d_ = tets[:, 0], tets[:, 1], tets[:, 2], tets[:, 3]
     pa, pb, pc, pd = x_pred[a], x_pred[b], x_pred[c_], x_pred[d_]
     wa, wb, wc, wd = inv_mass[a], inv_mass[b], inv_mass[c_], inv_mass[d_]
@@ -166,16 +160,29 @@ def tet_gather_deltas(x_pred, inv_mass, tets, tet_rest_vol, slot, tidx, mask,
     glam = jnp.concatenate(
         [ga * lam[:, None], gb * lam[:, None],
          gc * lam[:, None], gd * lam[:, None]], axis=0)    # (4T, 3)
+    return glam, valid
 
-    rows = glam[slot]                                      # (V, D, 3)
+
+def tet_phase_b(glam, valid, inv_mass, slot, tidx, mask, vids=None):
+    """Per-particle padded ROW gather of the phase-A table (1.4x the
+    segment_sum path on v5e; numerically identical up to fp association).
+    vids: optional degree-bucket vertex ids."""
+    wi_v = inv_mass if vids is None else inv_mass[vids]
+    rows = glam[slot]                                      # (N, D, 3)
     m = jnp.where(mask, 1.0, 0.0)[..., None]
-    delta = jnp.sum(rows * m, axis=1) * inv_mass[:, None]
-
-    wi = inv_mass[:, None]
-    cnt = jnp.sum(valid[tidx] & mask & (wi != 0.0), axis=1,
+    delta = jnp.sum(rows * m, axis=1) * wi_v[:, None]
+    cnt = jnp.sum(valid[tidx] & mask & (wi_v[:, None] != 0.0), axis=1,
                   dtype=jnp.int32)
-    del t_count
     return delta, cnt
+
+
+def tet_gather_deltas(x_pred, inv_mass, tets, tet_rest_vol, slot, tidx, mask,
+                      stiffness):
+    """Two-phase gather form of tet_jacobi_deltas (K_VolumeGather semantics,
+    SoftBodyCompute.compute:294-370) without scatters: see tet_phase_a/b."""
+    glam, valid = tet_phase_a(x_pred, inv_mass, tets, tet_rest_vol,
+                              stiffness)
+    return tet_phase_b(glam, valid, inv_mass, slot, tidx, mask)
 
 
 def apply_delta(x_pred, inv_mass, delta, cnt, omega):
@@ -218,20 +225,34 @@ def make_jacobi_step(topology, params: SolverParams,
         backend = "gather"
     if backend == "gather":
         from ..core.adjacency import (
-            padded_edge_adjacency, padded_tet_adjacency)
+            bucketize_padded, padded_edge_adjacency, padded_tet_adjacency)
 
+        # Degree-bucketed padded adjacency: vertices grouped by degree so
+        # each bucket pads to its own cap -- irregular meshes would
+        # otherwise gather up to 8x padding waste (PLAN.md measurements).
         if has_edges:
             e_other, e_eidx, e_mask = padded_edge_adjacency(
                 nv, topology.edges)
-            e_other = jnp.asarray(e_other)
-            e_rest_p = jnp.asarray(topology.edge_rest[e_eidx], jnp.float32)
-            e_mask = jnp.asarray(e_mask)
+            ebuckets, e_pos = bucketize_padded(
+                [e_other, e_eidx], e_mask, e_mask.sum(1))
+            e_bucket_data = [
+                (jnp.asarray(vids), jnp.asarray(arrs[0]),
+                 jnp.asarray(topology.edge_rest[arrs[1]], jnp.float32),
+                 jnp.asarray(m))
+                for vids, arrs, m in ebuckets
+            ]
+            e_pos_j = jnp.asarray(e_pos)
         if has_tets:
             t_tidx, t_role, t_mask = padded_tet_adjacency(nv, topology.tets)
-            t_slot = jnp.asarray(
-                t_role.astype(np.int64) * topology.num_tets + t_tidx)
-            t_tidx = jnp.asarray(t_tidx)
-            t_mask = jnp.asarray(t_mask)
+            t_slot = t_role.astype(np.int64) * topology.num_tets + t_tidx
+            tbuckets, t_pos = bucketize_padded(
+                [t_slot, t_tidx], t_mask, t_mask.sum(1))
+            t_bucket_data = [
+                (jnp.asarray(vids), jnp.asarray(arrs[0]),
+                 jnp.asarray(arrs[1]), jnp.asarray(m))
+                for vids, arrs, m in tbuckets
+            ]
+            t_pos_j = jnp.asarray(t_pos)
 
     gravity_w = jnp.asarray(params.gravity, jnp.float32)
     ground_point = jnp.asarray(params.ground_point, jnp.float32)
@@ -297,17 +318,27 @@ def make_jacobi_step(topology, params: SolverParams,
         x_pred, inv_mass, k_edge, k_vol, omega = carry
         if has_edges:
             if backend == "gather":
-                delta, cnt = edge_gather_deltas(
-                    x_pred, inv_mass, e_other, e_rest_p, e_mask, k_edge)
+                parts = [
+                    edge_gather_deltas(x_pred, inv_mass, ob, rb, mb, k_edge,
+                                       vids=vb)
+                    for vb, ob, rb, mb in e_bucket_data
+                ]
+                delta = jnp.concatenate([p[0] for p in parts])[e_pos_j]
+                cnt = jnp.concatenate([p[1] for p in parts])[e_pos_j]
             else:
                 delta, cnt = edge_jacobi_deltas(
                     x_pred, inv_mass, edges, edge_rest, k_edge, nv)
             x_pred = apply_delta(x_pred, inv_mass, delta, cnt, omega)
         if has_tets:
             if backend == "gather":
-                delta, cnt = tet_gather_deltas(
-                    x_pred, inv_mass, tets, tet_rest_vol, t_slot, t_tidx,
-                    t_mask, k_vol)
+                glam, validt = tet_phase_a(
+                    x_pred, inv_mass, tets, tet_rest_vol, k_vol)
+                parts = [
+                    tet_phase_b(glam, validt, inv_mass, sb, tb, mb, vids=vb)
+                    for vb, sb, tb, mb in t_bucket_data
+                ]
+                delta = jnp.concatenate([p[0] for p in parts])[t_pos_j]
+                cnt = jnp.concatenate([p[1] for p in parts])[t_pos_j]
             else:
                 delta, cnt = tet_jacobi_deltas(
                     x_pred, inv_mass, tets, tet_rest_vol, k_vol, nv)
