@@ -4,6 +4,12 @@
     python examples/datagen.py --batch 4096 --steps 60 --out /tmp/roll.npz
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+
+
 import argparse
 import time
 

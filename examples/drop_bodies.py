@@ -6,6 +6,12 @@ exports an OBJ sequence for viewing.
     python examples/drop_bodies.py --bodies 6 --steps 120 --out /tmp/drop
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+
+
 import argparse
 
 import numpy as np

@@ -6,6 +6,12 @@ line (SoftBodyManager.cs:183-192 format family).
     python examples/reference_scenes.py --scene extreme --seconds 5
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+
+
 import argparse
 import time
 

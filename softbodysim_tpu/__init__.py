@@ -19,6 +19,25 @@ Quick start::
     pos = eng.positions()
 """
 
+import os as _os
+
+# Persistent XLA compilation cache: solver steps (scan over substeps x
+# iterations x colors, plus Pallas kernels) take 20-100 s to compile cold;
+# the cache makes every later process start instant.  Opt out with
+# SOFTBODYSIM_NO_COMPILE_CACHE=1.
+if not _os.environ.get("SOFTBODYSIM_NO_COMPILE_CACHE"):
+    try:
+        import jax as _jax
+
+        _cache_dir = _os.environ.get(
+            "SOFTBODYSIM_COMPILE_CACHE",
+            _os.path.join(_os.path.expanduser("~"), ".cache",
+                          "softbodysim_tpu_xla"))
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 from .core.state import SimState, SolverParams, init_state
 from .core.topology import Topology, build_topology
 from .core import meshes

@@ -51,8 +51,24 @@ class Engine:
                                    **solver_kw)
         self._step = jax.jit(self._raw_step, donate_argnums=0)
 
-    def step(self, dt: float = 1.0 / 60.0) -> "Engine":
-        self.state = self._step(self.state, dt)
+    def step(self, dt: float = 1.0 / 60.0, **overrides) -> "Engine":
+        """overrides are forwarded to the jitted step: per-step stiffness
+        scalars, and ``colliders_rt`` / transform matrices for moving
+        colliders/bodies (same shapes as the construction-time template, so
+        no recompilation -- the per-step snapshot semantics of
+        SoftBodyManager.RebuildColliderCache)."""
+        if self.colliders is not None and "colliders_rt" not in overrides:
+            overrides["colliders_rt"] = self.colliders
+        self.state = self._step(self.state, dt, **overrides)
+        return self
+
+    def update_colliders(self, colliders: Colliders) -> "Engine":
+        """Replace collider poses for subsequent steps (count must match)."""
+        if (self.colliders is None) or (colliders.count
+                                        != self.colliders.count):
+            raise ValueError("collider count must match the template; use "
+                             "switch_params to change the set")
+        self.colliders = colliders
         return self
 
     def run(self, steps: int, dt: float = 1.0 / 60.0) -> "Engine":

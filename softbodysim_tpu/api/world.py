@@ -73,12 +73,26 @@ class World:
         if body in self.bodies:
             self.bodies.remove(body)
 
-    def add_collider(self, item: dict):
-        """item from Colliders.sphere/box/capsule builders."""
+    def add_collider(self, item: dict) -> int:
+        """item from Colliders.sphere/box/capsule builders.  Registration
+        changes the collider COUNT -> bodies re-jit (rare, like the
+        reference's collider registration).  Returns the collider index."""
         self._collider_items.append(item)
         self._colliders = Colliders.build(self._collider_items)
         for b in self.bodies:
             b.bind(self._colliders)
+        return len(self._collider_items) - 1
+
+    def update_collider(self, index: int, item: dict):
+        """Move/replace a collider's pose without recompiling (the count is
+        unchanged); takes effect at the next step -- per-step snapshot
+        semantics (SoftBodyManager.RebuildColliderCache,
+        SoftBodyManager.cs:239-261)."""
+        self._collider_items[index] = item
+        self._colliders = Colliders.build(self._collider_items)
+        for b in self.bodies:
+            if b.engine is not None:
+                b.engine.colliders = self._colliders
 
     # -- stepping --
     def step(self, dt: Optional[float] = None):

@@ -172,27 +172,32 @@ def _collide_kernel(ground_ref, cols_ref, px_ref, py_ref, pz_ref, w_ref,
     oz_ref[:] = jnp.where(free, p[2], pz_ref[:])
 
 
-def _pack_colliders(colliders: Optional[Colliders]) -> np.ndarray:
+def pack_colliders(colliders: Optional[Colliders]):
+    """(K, 12) f32 SoA pack [type, pos3, quat4, data3, active] -- traceable,
+    so collider poses can change every step without recompiling (the
+    reference rebuilds its collider snapshot per step,
+    SoftBodyManager.RebuildColliderCache, SoftBodyManager.cs:239-261)."""
     if colliders is None or colliders.count == 0:
-        return np.zeros((1, 12), np.float32)
+        return jnp.zeros((1, 12), jnp.float32)
     k = colliders.count
-    packed = np.zeros((k, 12), np.float32)
-    packed[:, 0] = np.asarray(colliders.type, np.float32)
-    packed[:, 1:4] = np.asarray(colliders.position)
-    packed[:, 4:8] = np.asarray(colliders.rotation)
-    packed[:, 8:11] = np.asarray(colliders.data)
-    packed[:, 11] = np.asarray(colliders.active, np.float32)
-    return packed
+    return jnp.concatenate([
+        jnp.asarray(colliders.type, jnp.float32).reshape(k, 1),
+        jnp.asarray(colliders.position, jnp.float32).reshape(k, 3),
+        jnp.asarray(colliders.rotation, jnp.float32).reshape(k, 4),
+        jnp.asarray(colliders.data, jnp.float32).reshape(k, 3),
+        jnp.asarray(colliders.active, jnp.float32).reshape(k, 1),
+    ], axis=1)
 
 
 def make_fused_collide(colliders: Optional[Colliders], *,
                        ground_enabled: bool, ground_point, ground_normal,
                        radius: float, num_particles: int,
                        interpret: bool = False):
-    """Build fn(p (V,3), inv_mass (V,)) -> (V,3) running the whole collide
-    stage as one Pallas kernel."""
+    """Build fn(p (V,3), inv_mass (V,), colliders=None) -> (V,3) running the
+    whole collide stage as one Pallas kernel.  The colliders argument (same
+    count as the template) lets poses move per step without recompiling."""
     k = 0 if colliders is None else colliders.count
-    packed = jnp.asarray(_pack_colliders(colliders))
+    default_packed = pack_colliders(colliders)
 
     gn = np.asarray(ground_normal, np.float64)
     gn = gn / max(1e-12, float(np.linalg.norm(gn)))
@@ -223,7 +228,9 @@ def make_fused_collide(colliders: Optional[Colliders], *,
         interpret=interpret,
     )
 
-    def fn(p, inv_mass):
+    def fn(p, inv_mass, colliders_rt: Optional[Colliders] = None):
+        packed = (default_packed if colliders_rt is None
+                  else pack_colliders(colliders_rt))
         pad = padded - num_particles
         comps = []
         for c in range(3):

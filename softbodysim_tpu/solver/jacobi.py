@@ -266,7 +266,6 @@ def make_jacobi_step(topology, params: SolverParams,
         local_to_world, jnp.float32)
     w2l = None if world_to_local is None else jnp.asarray(
         world_to_local, jnp.float32)
-    gravity_l = gravity_w if w2l is None else w2l[:3, :3] @ gravity_w
 
     radius = max(1e-6, params.particle_radius)
     k_colliders = 0 if colliders is None else colliders.count
@@ -293,26 +292,22 @@ def make_jacobi_step(topology, params: SolverParams,
                 ground_normal=params.ground_normal,
                 radius=radius, num_particles=nv)
 
-    def to_world(p):
-        return p if l2w is None else p @ l2w[:3, :3].T + l2w[:3, 3]
-
-    def to_local(p):
-        return p if w2l is None else p @ w2l[:3, :3].T + w2l[:3, 3]
-
-    def solve_collisions(x_pred, inv_mass):
+    def solve_collisions(x_pred, inv_mass, cols_rt, l2w_rt, w2l_rt):
         if fused_collide is not None:
-            return fused_collide(x_pred, inv_mass)
-        pw = to_world(x_pred)
+            return fused_collide(x_pred, inv_mass, cols_rt)
+        pw = (x_pred if l2w_rt is None
+              else x_pred @ l2w_rt[:3, :3].T + l2w_rt[:3, 3])
         if params.ground_enabled:
             pw = project_ground_plane(pw, radius, ground_point, ground_normal)
         if k_colliders > 0:
-            pw = collide_particles(pw, radius, colliders)
+            pw = collide_particles(
+                pw, radius, cols_rt if cols_rt is not None else colliders)
         if self_collide is not None:
             pw = self_collide(pw, inv_mass, radius)
-        pl = to_local(pw)
+        pl = pw if w2l_rt is None else pw @ w2l_rt[:3, :3].T + w2l_rt[:3, 3]
         return jnp.where((inv_mass != 0.0)[:, None], pl, x_pred)
 
-    def iteration(carry, _):
+    def iteration(carry, _, cols_rt, l2w_rt, w2l_rt):
         # k_edge / k_vol / omega are traced scalars so they can be per-scene
         # overrides under vmap (randomized-stiffness datagen, BASELINE #5)
         x_pred, inv_mass, k_edge, k_vol, omega = carry
@@ -344,17 +339,20 @@ def make_jacobi_step(topology, params: SolverParams,
                     x_pred, inv_mass, tets, tet_rest_vol, k_vol, nv)
             x_pred = apply_delta(x_pred, inv_mass, delta, cnt, omega)
         if do_collide or self_collide is not None:
-            x_pred = solve_collisions(x_pred, inv_mass)
+            x_pred = solve_collisions(x_pred, inv_mass, cols_rt, l2w_rt,
+                                      w2l_rt)
         return (x_pred, inv_mass, k_edge, k_vol, omega), None
 
-    def substep(state: SimState, sdt, k_edge, k_vol, omega) -> SimState:
+    def substep(state: SimState, sdt, k_edge, k_vol, omega, cols_rt,
+                l2w_rt, w2l_rt, grav_l) -> SimState:
         # PreSolve (SoftBodySolver.cs:349-362); state.x doubles as posPrev
         pinned = (state.inv_mass == 0.0)[:, None]
-        v = jnp.where(pinned, 0.0, state.v + gravity_l * sdt)
+        v = jnp.where(pinned, 0.0, state.v + grav_l * sdt)
         x_pred = jnp.where(pinned, state.x, state.x + v * sdt)
 
         (x_pred, _, _, _, _), _ = jax.lax.scan(
-            iteration, (x_pred, state.inv_mass, k_edge, k_vol, omega), None,
+            lambda c, x: iteration(c, x, cols_rt, l2w_rt, w2l_rt),
+            (x_pred, state.inv_mass, k_edge, k_vol, omega), None,
             length=params.iterations)
 
         # PostSolve (SoftBodySolver.cs:364-377)
@@ -367,9 +365,21 @@ def make_jacobi_step(topology, params: SolverParams,
         )
 
     def step(state: SimState, dt, edge_stiffness=None, volume_stiffness=None,
-             sor_omega=None) -> SimState:
-        """Optional traced scalar overrides for the three tunables the
-        reference exposes per solver (SoftBodySolver.cs:28-32)."""
+             sor_omega=None, colliders_rt: Optional[Colliders] = None,
+             local_to_world_rt=None, world_to_local_rt=None) -> SimState:
+        """Optional traced overrides:
+          - edge/volume stiffness, sor_omega: the three per-solver tunables
+            (SoftBodySolver.cs:28-32), per-scene under vmap;
+          - colliders_rt: collider poses for THIS step (same count as the
+            make-time template) -- the reference rebuilds its collider
+            snapshot every step (SoftBodyManager.cs:239-261), so moving
+            colliders must not trigger recompilation;
+          - local_to_world_rt / world_to_local_rt: per-step body transform
+            matrices (CacheStepDataMainThread caches these per frame,
+            SoftBodySolver.cs:224-226). Only honored when make-time
+            transforms were provided (the graph is built with the
+            transform path).
+        """
         k_edge = jnp.asarray(
             params.edge_stiffness if edge_stiffness is None
             else edge_stiffness, jnp.float32)
@@ -379,11 +389,27 @@ def make_jacobi_step(topology, params: SolverParams,
         omega = jnp.asarray(
             params.sor_omega if sor_omega is None else sor_omega,
             jnp.float32)
+
+        l2w_rt = l2w if local_to_world_rt is None else jnp.asarray(
+            local_to_world_rt, jnp.float32)
+        w2l_rt = w2l if world_to_local_rt is None else jnp.asarray(
+            world_to_local_rt, jnp.float32)
+        if (l2w_rt is None) != (l2w is None):
+            raise ValueError(
+                "runtime transforms require make-time transforms (the "
+                "compiled graph must include the transform path)")
+        grav_l = (gravity_w if w2l_rt is None
+                  else w2l_rt[:3, :3] @ gravity_w)
+        if colliders_rt is not None and k_colliders == 0:
+            raise ValueError(
+                "runtime colliders require a make-time collider template")
+
         ss = max(1, params.substeps)
         sdt = jnp.asarray(dt, jnp.float32) / ss
 
         def body(st, _):
-            return substep(st, sdt, k_edge, k_vol, omega), None
+            return substep(st, sdt, k_edge, k_vol, omega, colliders_rt,
+                           l2w_rt, w2l_rt, grav_l), None
 
         state, _ = jax.lax.scan(body, state, None, length=ss)
         return state

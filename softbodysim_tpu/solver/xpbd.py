@@ -315,7 +315,7 @@ def make_xpbd_step(topology, params: SolverParams,
             del kc
         return x_star, lam_cm
 
-    def iteration(carry, _):
+    def iteration(carry, _, cols_rt):
         x_star, e_lam, t_lam, inv_mass, edge_alpha, tet_alpha = carry
         # (edge_alpha / tet_alpha are traced scalars: compliance may be a
         # per-scene override for randomized-stiffness batched datagen)
@@ -355,12 +355,14 @@ def make_xpbd_step(topology, params: SolverParams,
 
         if colliders is not None:
             free = inv_mass > 0.0
-            pushed = collide_particles(x_star, 0.0, colliders)
+            pushed = collide_particles(
+                x_star, 0.0, cols_rt if cols_rt is not None else colliders)
             x_star = jnp.where(free[:, None], pushed, x_star)
 
         return (x_star, e_lam, t_lam, inv_mass, edge_alpha, tet_alpha), None
 
-    def substep(state: SimState, sdt, edge_comp, vol_comp) -> SimState:
+    def substep(state: SimState, sdt, edge_comp, vol_comp,
+                cols_rt) -> SimState:
         inv_dt2 = jnp.where(sdt > 1e-12, 1.0 / (sdt * sdt), 0.0)
         edge_alpha = jnp.maximum(edge_comp, 0.0) * inv_dt2
         tet_alpha = jnp.maximum(vol_comp, 0.0) * inv_dt2
@@ -369,8 +371,9 @@ def make_xpbd_step(topology, params: SolverParams,
 
         carry = (state.x_star, state.edge_lambda, state.tet_lambda,
                  state.inv_mass, edge_alpha, tet_alpha)
-        carry, _ = jax.lax.scan(iteration, carry, None,
-                                length=params.iterations)
+        carry, _ = jax.lax.scan(
+            lambda c, x: iteration(c, x, cols_rt), carry, None,
+            length=params.iterations)
         x_star, e_lam, t_lam = carry[0], carry[1], carry[2]
 
         state = SimState(
@@ -380,10 +383,16 @@ def make_xpbd_step(topology, params: SolverParams,
         return commit(state, params, sdt)
 
     def step(state: SimState, dt, edge_compliance=None,
-             volume_compliance=None) -> SimState:
+             volume_compliance=None,
+             colliders_rt: Optional[Colliders] = None) -> SimState:
         """edge_compliance / volume_compliance: optional traced scalar
         overrides (per-scene under vmap for randomized-stiffness datagen,
-        BASELINE config #5); default to the static params."""
+        BASELINE config #5); colliders_rt: per-step collider poses (same
+        count as the make-time template -- moving colliders without
+        recompilation, mirroring the reference's per-step snapshot)."""
+        if colliders_rt is not None and colliders is None:
+            raise ValueError(
+                "runtime colliders require a make-time collider template")
         ec = _f32(params.edge_compliance if edge_compliance is None
                   else edge_compliance)
         vc = _f32(params.volume_compliance if volume_compliance is None
@@ -406,7 +415,7 @@ def make_xpbd_step(topology, params: SolverParams,
                 state.tet_lambda[t_perm] if has_tets else state.tet_lambda)
 
         def body(st, _):
-            return substep(st, sdt, ec, vc), None
+            return substep(st, sdt, ec, vc, colliders_rt), None
 
         state, _ = jax.lax.scan(body, state, None, length=ss)
 

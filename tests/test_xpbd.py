@@ -111,6 +111,18 @@ def test_volume_preservation_incompressible():
     assert float(np.sum(vols)) == pytest.approx(rest_total, rel=0.05)
 
 
+def test_nonzero_volume_compliance_matches_oracle():
+    """volumeCompliance > 0 exercises the alpha*lambda feedback term in the
+    tet solve (Sim.cpp:162-164), unused by the defaults."""
+    topo = meshes.tet_cube(2, 2, 2, size=0.5, center=(0.0, 0.8, 0.0))
+    params = SolverParams(dialect="xpbd", substeps=2, iterations=6,
+                          edge_compliance=1e-3, volume_compliance=1e-5)
+    eng, oracle = run_pair(topo, params, steps=90)
+    np.testing.assert_allclose(eng.positions(), oracle.x, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(eng.state.tet_lambda), oracle.tet_lambda, atol=1e-3)
+
+
 def test_xpbd_backends_agree():
     """Color-major gather backend must track the padded-scatter backend
     closely (identical math/order; only fp association differs)."""
