@@ -1,0 +1,83 @@
+"""Unified CLI: python -m softbodysim_tpu <command>
+
+Commands:
+  serve   PBD1 TCP server (reference PBDServer CLI parity)
+  scene   run a reference benchmark scene preset with 1 Hz stats
+  bench   constraint-projection throughput (one JSON line)
+  info    devices / version / native-lib status
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="softbodysim_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    serve = sub.add_parser("serve", help="PBD1 TCP server")
+    serve.add_argument("--host", default="127.0.0.1")
+    serve.add_argument("--port", type=int, default=7777)
+    serve.add_argument("--mode", choices=["serial", "parallel"],
+                       default="serial")
+    serve.add_argument("--threads", type=int, default=0)
+
+    scene = sub.add_parser("scene", help="run a benchmark scene preset")
+    scene.add_argument("name", choices=["sample", "4fumo", "extreme",
+                                        "batch"])
+    scene.add_argument("--seconds", type=float, default=3.0)
+
+    bench = sub.add_parser("bench", help="throughput benchmark (JSON line)")
+    bench.add_argument("--batch", type=int, default=128)
+
+    sub.add_parser("info", help="environment info")
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "serve":
+        from .api.server import PBDServer
+
+        PBDServer(host=args.host, port=args.port, mode=args.mode).serve_one()
+    elif args.cmd == "scene":
+        sys.argv = ["scene", "--scene", args.name,
+                    "--seconds", str(args.seconds)]
+        from .api.scenes import ALL_SCENES
+        import time
+        import numpy as np
+
+        sc = ALL_SCENES[args.name]()
+        world = sc.build_world()
+        world.step()
+        world.stats.reset()
+        t_end = time.time() + args.seconds
+        last = time.time()
+        while time.time() < t_end:
+            world.step()
+            if time.time() - last >= 1.0:
+                print(world.stats.report(prefix=f"[{sc.name}]"))
+                last = time.time()
+        print("min_y =", float(min(
+            p[:, 1].min() for p in world.positions().values())))
+    elif args.cmd == "bench":
+        import runpy
+        import os
+
+        root = os.path.join(os.path.dirname(__file__), "..")
+        sys.argv = ["bench.py"]
+        runpy.run_path(os.path.join(root, "bench.py"), run_name="__main__")
+    elif args.cmd == "info":
+        import jax
+
+        from . import __version__
+        from .core.native import available
+
+        print(f"softbodysim_tpu {__version__}")
+        print(f"jax {jax.__version__}, backend {jax.default_backend()}")
+        print(f"devices: {jax.devices()}")
+        print(f"native lib: {'built' if available() else 'NumPy fallback'}")
+
+
+if __name__ == "__main__":
+    main()

@@ -10,7 +10,7 @@ centroid fanning; general closed meshes go through the native voxel
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

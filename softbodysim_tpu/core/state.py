@@ -12,7 +12,7 @@ as a plain dict of arrays.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+
 from typing import Any
 
 import jax

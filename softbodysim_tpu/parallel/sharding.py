@@ -32,7 +32,7 @@ from ..core.topology import Topology
 from ..collide.primitives import Colliders, collide_particles, project_ground_plane
 from ..solver.jacobi import (
     apply_delta, edge_jacobi_deltas, tet_jacobi_deltas)
-from .batching import init_batch_state
+
 
 
 def make_mesh(shape=None, axis_names=("data", "model"), devices=None) -> Mesh:

@@ -1,4 +1,6 @@
-from .profile import profile_xpbd_stages, step_rate, trace
+from .profile import (profile_jacobi_stages, profile_xpbd_stages, step_rate,
+                      trace)
 from .timing import StepStats
 
-__all__ = ["StepStats", "profile_xpbd_stages", "step_rate", "trace"]
+__all__ = ["StepStats", "profile_xpbd_stages", "profile_jacobi_stages",
+           "step_rate", "trace"]

@@ -96,6 +96,76 @@ def profile_xpbd_stages(topology, params: SolverParams, state: SimState,
     }
 
 
+def profile_jacobi_stages(topology, params: SolverParams, state: SimState,
+                          dt: float = 1.0 / 60.0, repeats: int = 20
+                          ) -> Dict[str, float]:
+    """Per-stage average ms for the jacobi dialect -- the Unity manager's
+    Pre/Solve(Edges|Volumes|Collide)/Post taxonomy
+    (SoftBodyManager.cs:205-236)."""
+    from ..solver.jacobi import (apply_delta, edge_jacobi_deltas,
+                                 tet_jacobi_deltas)
+    from ..collide.primitives import project_ground_plane
+
+    edges = jnp.asarray(topology.edges, jnp.int32)
+    edge_rest = jnp.asarray(topology.edge_rest, jnp.float32)
+    tets = jnp.asarray(topology.tets, jnp.int32)
+    tet_rest = jnp.asarray(topology.tet_rest_vol, jnp.float32)
+    nv = topology.num_particles
+    grav = jnp.asarray(params.gravity, jnp.float32)
+    sdt = jnp.float32(dt / max(1, params.substeps))
+
+    @jax.jit
+    def f_pre(st):
+        pinned = (st.inv_mass == 0.0)[:, None]
+        v = jnp.where(pinned, 0.0, st.v + grav * sdt)
+        return jnp.where(pinned, st.x, st.x + v * sdt)
+
+    @jax.jit
+    def f_edges(x, w):
+        d, c = edge_jacobi_deltas(x, w, edges, edge_rest,
+                                  params.edge_stiffness, nv)
+        return apply_delta(x, w, d, c, params.sor_omega)
+
+    @jax.jit
+    def f_tets(x, w):
+        d, c = tet_jacobi_deltas(x, w, tets, tet_rest,
+                                 params.volume_stiffness, nv)
+        return apply_delta(x, w, d, c, params.sor_omega)
+
+    @jax.jit
+    def f_collide(x):
+        return project_ground_plane(
+            x, params.particle_radius,
+            jnp.asarray(params.ground_point, jnp.float32),
+            jnp.asarray(params.ground_normal, jnp.float32))
+
+    @jax.jit
+    def f_post(st, x_pred):
+        pinned = (st.inv_mass == 0.0)[:, None]
+        inv_dt = 1.0 / sdt
+        v = jnp.where(pinned, 0.0, (x_pred - st.x) * inv_dt)
+        return jnp.where(pinned, st.x, x_pred), v
+
+    def timed(fn, *args):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / repeats * 1000.0
+
+    x_pred = f_pre(state)
+    w = state.inv_mass
+    return {
+        "pre_ms": timed(f_pre, state),
+        "solve_edges_ms": timed(f_edges, x_pred, w),
+        "solve_volumes_ms": timed(f_tets, x_pred, w),
+        "collide_ms": timed(f_collide, x_pred),
+        "post_ms": timed(f_post, state, x_pred),
+    }
+
+
 @contextlib.contextmanager
 def trace(log_dir: str = "/tmp/softbodysim_trace"):
     """XLA/Pallas profiler trace context (open with xprof/tensorboard)."""
