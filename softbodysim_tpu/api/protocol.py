@@ -149,14 +149,18 @@ def recv_exact(sock: socket.socket, n: int) -> Optional[bytes]:
     return b"".join(chunks)
 
 
+MAX_PAYLOAD = 1 << 30  # 1 GiB sanity cap (the reference trusts the header)
+
+
 def read_message(sock: socket.socket) -> Optional[Tuple[int, bytes]]:
-    """Read one framed message; None on EOF or bad magic
-    (Server.cpp:4-8: bad magic tears the session down)."""
+    """Read one framed message; None on EOF, bad magic, or an absurd
+    payload size (Server.cpp:4-8: bad magic tears the session down; the
+    size cap is a hardening addition over the reference)."""
     hdr = recv_exact(sock, _HEADER.size)
     if hdr is None:
         return None
     magic, msg_type, size = _HEADER.unpack(hdr)
-    if magic != MAGIC:
+    if magic != MAGIC or size > MAX_PAYLOAD:
         return None
     payload = recv_exact(sock, size) if size else b""
     if payload is None:

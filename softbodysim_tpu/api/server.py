@@ -93,7 +93,13 @@ class PBDServer:
             msg_type, payload = msg
 
             if msg_type == protocol.MSG_INIT:
-                self._handle_init(payload)
+                try:
+                    self._handle_init(payload)
+                except Exception as e:
+                    # malformed INIT: end the session cleanly (the C++
+                    # reference would crash-parse; we close instead)
+                    self._log(f"bad INIT: {type(e).__name__}: {e}")
+                    break
             elif msg_type == protocol.MSG_STEP:
                 if len(payload) < 4:
                     break

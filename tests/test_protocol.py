@@ -112,6 +112,60 @@ def test_remote_world_async_pipeline():
         assert last[:, 1].mean() < topo.vertices[:, 1].mean()
 
 
+def test_fuzzed_frames_never_crash_server():
+    """Garbage frames must tear the session down cleanly (reference
+    semantics) and never hang or crash the server thread."""
+    import socket
+    import struct
+    import time
+
+    rng = np.random.default_rng(0)
+    cases = [
+        b"\x00" * 12,                                      # zero magic
+        b"PBD1" + struct.pack("<II", 99, 0),               # unknown type
+        b"PBD1" + struct.pack("<II", 2, 0xFFFFFFFF),       # absurd size
+        b"PBD1" + struct.pack("<II", 1, 8) + b"\x01" * 8,  # truncated INIT
+        bytes(rng.integers(0, 256, 64, dtype=np.uint8)),   # pure noise
+    ]
+    for payload in cases:
+        srv = PBDServer(port=0, verbose=False).start_background().wait_ready()
+        s = socket.create_connection(("127.0.0.1", srv.port), timeout=5)
+        try:
+            s.sendall(payload)
+            s.settimeout(3)
+            try:
+                data = s.recv(1024)
+                assert data == b""  # orderly close
+            except (ConnectionResetError, socket.timeout):
+                pass
+        finally:
+            s.close()
+        deadline = time.time() + 5
+        while srv._thread.is_alive() and time.time() < deadline:
+            time.sleep(0.05)
+        assert not srv._thread.is_alive(), "server thread hung"
+
+
+def test_truncated_init_payload_closes_session():
+    """INIT whose payload is shorter than its arrays claim must not crash
+    the process -- the parse error ends the session."""
+    import socket
+    import struct
+
+    srv = PBDServer(port=0, verbose=False).start_background().wait_ready()
+    s = socket.create_connection(("127.0.0.1", srv.port), timeout=5)
+    # claims V=1000 but provides only counts
+    payload = struct.pack("<III", 1000, 1000, 1000)
+    s.sendall(protocol.pack_header(protocol.MSG_INIT, len(payload)) + payload)
+    s.settimeout(3)
+    try:
+        data = s.recv(1024)
+        assert data == b""
+    except (ConnectionResetError, socket.timeout):
+        pass
+    s.close()
+
+
 def test_step_before_init_is_ignored_then_session_continues():
     topo = meshes.single_tet()
     srv = PBDServer(port=0, verbose=False).start_background().wait_ready()
