@@ -43,6 +43,7 @@ class Scene:
     colliders: List[dict]
     substeps: int = 2
     iterations: int = 6
+    groups: Optional[list] = None   # List[parallel.groups.Group]
 
     def build_world(self, fixed_dt: float = 1.0 / 60.0) -> World:
         world = World(fixed_dt=fixed_dt)
@@ -51,6 +52,16 @@ class Scene:
         for name, topo, params, kw in self.bodies:
             world.register(Body(topo, params, name=name, **kw))
         return world
+
+    def build_grouped(self):
+        """TPU-native execution: one vmapped program per mesh family
+        (parallel/groups.py) -- the fast path for these scenes."""
+        from ..parallel.groups import GroupedSceneEngine
+
+        if not self.groups:
+            raise ValueError(f"scene {self.name} defines no groups")
+        cols = Colliders.build(self.colliders) if self.colliders else None
+        return GroupedSceneEngine(self.groups, colliders=cols)
 
 
 def _asset(name: str) -> Optional[Topology]:
@@ -116,24 +127,37 @@ def _grid_positions(n: int, spacing: float = 0.9, height: float = 1.2):
     return out
 
 
+def _make_groups(specs):
+    """specs: [(name, base_topo, offsets, params, density)]"""
+    from ..parallel.groups import Group
+
+    return [Group(t, offs, p, name=n, density=d)
+            for n, t, offs, p, d in specs]
+
+
 def sample_scene() -> Scene:
     p = _params(edge=0.7, vol=1.0, omega=1.4, radius=0.01)
+    base = _bunny((0.0, 0.0, 0.0))
     return Scene(
         name="SampleScene",
         bodies=[("fumo", _bunny((0.0, 1.0, 0.0)), p, {"density": 0.2})],
         colliders=[Colliders.box((0.0, 0.1, 0.0), (0.6, 0.1, 0.6))],
+        groups=_make_groups([("fumo", base, [(0.0, 1.0, 0.0)], p, 0.2)]),
     )
 
 
 def four_body_test() -> Scene:
     p = _params()
+    positions = _grid_positions(4, spacing=1.0)
     bodies = [
         (f"fumo{i}", _bunny(pos), p, {})
-        for i, pos in enumerate(_grid_positions(4, spacing=1.0))
+        for i, pos in enumerate(positions)
     ]
+    base = _bunny((0.0, 0.0, 0.0))
     return Scene(
         name="4fumoTest", bodies=bodies,
-        colliders=[Colliders.box((0.0, 0.1, 0.0), (1.5, 0.1, 1.5))])
+        colliders=[Colliders.box((0.0, 0.1, 0.0), (1.5, 0.1, 1.5))],
+        groups=_make_groups([("fumo", base, positions, p, 1.0)]))
 
 
 def extreme_test() -> Scene:
@@ -147,7 +171,11 @@ def extreme_test() -> Scene:
             bodies.append((f"cirno{i}", _bunny(pos), p, {}))
     return Scene(
         name="ExtremeTest", bodies=bodies,
-        colliders=[Colliders.box((0.0, 0.1, 0.0), (2.5, 0.1, 2.5))])
+        colliders=[Colliders.box((0.0, 0.1, 0.0), (2.5, 0.1, 2.5))],
+        groups=_make_groups([
+            ("ball", _ball_small((0, 0, 0)), positions[:16], p, 1.0),
+            ("cirno", _bunny((0, 0, 0)), positions[16:], p, 1.0),
+        ]))
 
 
 def batch_test() -> Scene:
@@ -159,7 +187,12 @@ def batch_test() -> Scene:
             bodies.append((f"ball{i}", _ball_small(pos), p, {}))
         else:
             bodies.append((f"big{i}", _default_mesh(pos), p, {}))
-    return Scene(name="BatchTest", bodies=bodies, colliders=[])
+    return Scene(
+        name="BatchTest", bodies=bodies, colliders=[],
+        groups=_make_groups([
+            ("ball", _ball_small((0, 0, 0)), positions[:10], p, 1.0),
+            ("big", _default_mesh((0, 0, 0)), positions[10:], p, 1.0),
+        ]))
 
 
 ALL_SCENES = {

@@ -38,6 +38,36 @@ def test_extreme_test_composition():
     assert p.volume_stiffness == pytest.approx(1.0)
 
 
+def test_grouped_scene_engine_runs():
+    """Grouped (per-family vmapped) execution of ExtremeTest's shape."""
+    import numpy as np
+
+    scene = extreme_test()
+    eng = scene.build_grouped()
+    for _ in range(10):
+        eng.step(1 / 60)
+    eng.block()
+    out = eng.positions()
+    assert len(out) == 24
+    for name, pos in out:
+        assert np.isfinite(pos).all()
+
+
+def test_grouped_matches_world_prefix():
+    """Grouped and per-body execution agree pre-contact (same solver)."""
+    import numpy as np
+
+    scene = four_body_test()
+    grouped = scene.build_grouped()
+    world = scene.build_world()
+    for _ in range(8):
+        grouped.step(1 / 60)
+        world.step()
+    gpos = dict(grouped.positions())
+    for i, (name, pos) in enumerate(world.positions().items()):
+        np.testing.assert_allclose(gpos[f"fumo#{i}"], pos, atol=1e-4)
+
+
 def test_batch_test_composition():
     scene = batch_test()
     assert len(scene.bodies) == 20
