@@ -247,6 +247,10 @@ def make_xpbd_step(topology, params: SolverParams,
             t_perm = jnp.asarray(t_order.astype(np.int64))
             t_inv = jnp.asarray(np.argsort(t_order))
 
+    # Note: a hybrid "scatter-add for small tail colors" variant was
+    # measured SLOWER on v5e (13.7 vs 11.5 ms/step at V=4096) -- XLA's
+    # scatter penalty exceeds a full (V,3) table row gather even for tiny
+    # colors, so every color uses the gather path.
     def edge_pass_gather(x_star, lam_cm, inv_mass, alpha):
         """All edge colors, color-major: contiguous lambda slices + one
         (V,3) correction-table row gather per color (no scatters; colors
