@@ -307,10 +307,13 @@ def make_jacobi_step(topology, params: SolverParams,
         pl = pw if w2l_rt is None else pw @ w2l_rt[:3, :3].T + w2l_rt[:3, 3]
         return jnp.where((inv_mass != 0.0)[:, None], pl, x_pred)
 
-    def iteration(carry, _, cols_rt, l2w_rt, w2l_rt):
+    def iteration(carry, _, inv_mass, cols_rt, l2w_rt, w2l_rt):
+        # inv_mass rides the closure (NOT the scan carry): it is constant
+        # within a step, and keeping it out of the carry lets XLA hoist the
+        # loop-invariant w[...] gathers out of the iteration loop.
         # k_edge / k_vol / omega are traced scalars so they can be per-scene
         # overrides under vmap (randomized-stiffness datagen, BASELINE #5)
-        x_pred, inv_mass, k_edge, k_vol, omega = carry
+        x_pred, k_edge, k_vol, omega = carry
         if has_edges:
             if backend == "gather":
                 parts = [
@@ -341,7 +344,7 @@ def make_jacobi_step(topology, params: SolverParams,
         if do_collide or self_collide is not None:
             x_pred = solve_collisions(x_pred, inv_mass, cols_rt, l2w_rt,
                                       w2l_rt)
-        return (x_pred, inv_mass, k_edge, k_vol, omega), None
+        return (x_pred, k_edge, k_vol, omega), None
 
     def substep(state: SimState, sdt, k_edge, k_vol, omega, cols_rt,
                 l2w_rt, w2l_rt, grav_l) -> SimState:
@@ -350,9 +353,10 @@ def make_jacobi_step(topology, params: SolverParams,
         v = jnp.where(pinned, 0.0, state.v + grav_l * sdt)
         x_pred = jnp.where(pinned, state.x, state.x + v * sdt)
 
-        (x_pred, _, _, _, _), _ = jax.lax.scan(
-            lambda c, x: iteration(c, x, cols_rt, l2w_rt, w2l_rt),
-            (x_pred, state.inv_mass, k_edge, k_vol, omega), None,
+        (x_pred, _, _, _), _ = jax.lax.scan(
+            lambda c, x: iteration(c, x, state.inv_mass, cols_rt, l2w_rt,
+                                   w2l_rt),
+            (x_pred, k_edge, k_vol, omega), None,
             length=params.iterations)
 
         # PostSolve (SoftBodySolver.cs:364-377)
@@ -407,11 +411,23 @@ def make_jacobi_step(topology, params: SolverParams,
         ss = max(1, params.substeps)
         sdt = jnp.asarray(dt, jnp.float32) / ss
 
-        def body(st, _):
-            return substep(st, sdt, k_edge, k_vol, omega, colliders_rt,
-                           l2w_rt, w2l_rt, grav_l), None
+        # inv_mass is closed over (not carried) so XLA hoists the
+        # loop-invariant w[...] gathers out of both scan levels
+        inv_mass0 = state.inv_mass
 
-        state, _ = jax.lax.scan(body, state, None, length=ss)
-        return state
+        def body(c, _):
+            st = SimState(x=c[0], v=c[1], x_star=c[2], inv_mass=inv_mass0,
+                          edge_lambda=c[3], tet_lambda=c[4])
+            st = substep(st, sdt, k_edge, k_vol, omega, colliders_rt,
+                         l2w_rt, w2l_rt, grav_l)
+            return (st.x, st.v, st.x_star, st.edge_lambda,
+                    st.tet_lambda), None
+
+        carry = (state.x, state.v, state.x_star, state.edge_lambda,
+                 state.tet_lambda)
+        carry, _ = jax.lax.scan(body, carry, None, length=ss)
+        return SimState(x=carry[0], v=carry[1], x_star=carry[2],
+                        inv_mass=inv_mass0, edge_lambda=carry[3],
+                        tet_lambda=carry[4])
 
     return step

@@ -319,8 +319,10 @@ def make_xpbd_step(topology, params: SolverParams,
             del kc
         return x_star, lam_cm
 
-    def iteration(carry, _, cols_rt):
-        x_star, e_lam, t_lam, inv_mass, edge_alpha, tet_alpha = carry
+    def iteration(carry, _, inv_mass, cols_rt):
+        # inv_mass closed over (not carried): constant within a step, so
+        # XLA hoists the loop-invariant w gathers out of the iteration scan
+        x_star, e_lam, t_lam, edge_alpha, tet_alpha = carry
         # (edge_alpha / tet_alpha are traced scalars: compliance may be a
         # per-scene override for randomized-stiffness batched datagen)
 
@@ -363,7 +365,7 @@ def make_xpbd_step(topology, params: SolverParams,
                 x_star, 0.0, cols_rt if cols_rt is not None else colliders)
             x_star = jnp.where(free[:, None], pushed, x_star)
 
-        return (x_star, e_lam, t_lam, inv_mass, edge_alpha, tet_alpha), None
+        return (x_star, e_lam, t_lam, edge_alpha, tet_alpha), None
 
     def substep(state: SimState, sdt, edge_comp, vol_comp,
                 cols_rt) -> SimState:
@@ -374,10 +376,10 @@ def make_xpbd_step(topology, params: SolverParams,
         state = predict(state, gravity, sdt)
 
         carry = (state.x_star, state.edge_lambda, state.tet_lambda,
-                 state.inv_mass, edge_alpha, tet_alpha)
+                 edge_alpha, tet_alpha)
         carry, _ = jax.lax.scan(
-            lambda c, x: iteration(c, x, cols_rt), carry, None,
-            length=params.iterations)
+            lambda c, x: iteration(c, x, state.inv_mass, cols_rt), carry,
+            None, length=params.iterations)
         x_star, e_lam, t_lam = carry[0], carry[1], carry[2]
 
         state = SimState(
@@ -418,10 +420,21 @@ def make_xpbd_step(topology, params: SolverParams,
                 state.edge_lambda[e_perm] if has_edges else state.edge_lambda,
                 state.tet_lambda[t_perm] if has_tets else state.tet_lambda)
 
-        def body(st, _):
-            return substep(st, sdt, ec, vc, colliders_rt), None
+        inv_mass0 = state.inv_mass
 
-        state, _ = jax.lax.scan(body, state, None, length=ss)
+        def body(c, _):
+            st = SimState(x=c[0], v=c[1], x_star=c[2], inv_mass=inv_mass0,
+                          edge_lambda=c[3], tet_lambda=c[4])
+            st = substep(st, sdt, ec, vc, colliders_rt)
+            return (st.x, st.v, st.x_star, st.edge_lambda,
+                    st.tet_lambda), None
+
+        carry = (state.x, state.v, state.x_star, state.edge_lambda,
+                 state.tet_lambda)
+        carry, _ = jax.lax.scan(body, carry, None, length=ss)
+        state = SimState(x=carry[0], v=carry[1], x_star=carry[2],
+                         inv_mass=inv_mass0, edge_lambda=carry[3],
+                         tet_lambda=carry[4])
 
         if backend == "gather":
             state = relam(
