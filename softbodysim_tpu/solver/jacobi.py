@@ -353,11 +353,38 @@ def make_jacobi_step(topology, params: SolverParams,
         v = jnp.where(pinned, 0.0, state.v + grav_l * sdt)
         x_pred = jnp.where(pinned, state.x, state.x + v * sdt)
 
-        (x_pred, _, _, _), _ = jax.lax.scan(
-            lambda c, x: iteration(c, x, state.inv_mass, cols_rt, l2w_rt,
-                                   w2l_rt),
-            (x_pred, k_edge, k_vol, omega), None,
-            length=params.iterations)
+        if not params.chebyshev:
+            (x_pred, _, _, _), _ = jax.lax.scan(
+                lambda c, x: iteration(c, x, state.inv_mass, cols_rt,
+                                       l2w_rt, w2l_rt),
+                (x_pred, k_edge, k_vol, omega), None,
+                length=params.iterations)
+        else:
+            # Chebyshev semi-iterative acceleration (Wang 2015): after the
+            # Jacobi update, extrapolate with the omega_k recurrence
+            #   omega_1 = 1; omega_2 = 2/(2-rho^2);
+            #   omega_{k+1} = 4/(4 - rho^2 * omega_k)
+            #   x_k+1 = omega (x_jacobi - x_prev) + x_prev
+            # starting after `chebyshev_delay` plain iterations.  Pinned
+            # particles are untouched (their jacobi update is identity).
+            rho2 = float(params.chebyshev_rho) ** 2
+
+            def cheby_body(carry, it_idx):
+                x_cur, x_prev, om_prev = carry
+                (x_jac, _, _, _), _ = iteration(
+                    (x_cur, k_edge, k_vol, omega), None, state.inv_mass,
+                    cols_rt, l2w_rt, w2l_rt)
+                om_next = jnp.where(
+                    it_idx < params.chebyshev_delay, 1.0,
+                    jnp.where(it_idx == params.chebyshev_delay,
+                              2.0 / (2.0 - rho2),
+                              4.0 / (4.0 - rho2 * om_prev)))
+                x_next = om_next * (x_jac - x_prev) + x_prev
+                return (x_next, x_cur, om_next), None
+
+            (x_pred, _, _), _ = jax.lax.scan(
+                cheby_body, (x_pred, x_pred, jnp.float32(1.0)),
+                jnp.arange(params.iterations))
 
         # PostSolve (SoftBodySolver.cs:364-377)
         inv_dt = jnp.where(sdt > 0.0, 1.0 / sdt, 0.0)
