@@ -48,18 +48,24 @@ def main(argv=None):
         import numpy as np
 
         sc = ALL_SCENES[args.name]()
-        world = sc.build_world()
-        world.step()
-        world.stats.reset()
+        eng = sc.build_grouped()   # per-family vmapped programs (fast path)
+        eng.step()
+        eng.block()
         t_end = time.time() + args.seconds
         last = time.time()
+        frames = 0
         while time.time() < t_end:
-            world.step()
+            eng.step()
+            frames += 1
             if time.time() - last >= 1.0:
-                print(world.stats.report(prefix=f"[{sc.name}]"))
+                eng.block()
+                print(f"[{sc.name}] {frames / (time.time() - last):.1f} "
+                      "steps/s")
                 last = time.time()
+                frames = 0
+        eng.block()
         print("min_y =", float(min(
-            p[:, 1].min() for p in world.positions().values())))
+            pos[:, 1].min() for _, pos in eng.positions())))
     elif args.cmd == "bench":
         import runpy
         import os
