@@ -177,6 +177,7 @@ def make_mesh_sharded_step(topology: Topology, params: SolverParams,
 
 def make_xpbd_sharded_step(topology: Topology, params: SolverParams,
                            mesh: Mesh,
+                           colliders: Optional[Colliders] = None,
                            data_axis: str = "data",
                            model_axis: str = "model"):
     """XPBD (server contract) over a (data, model) mesh.
@@ -349,6 +350,13 @@ def make_xpbd_sharded_step(topology: Topology, params: SolverParams,
                             t_alpha)
                 if params.ground_enabled:
                     xs = project_ground(xs, st.inv_mass, params.ground_y)
+                if colliders is not None:
+                    # replicated primitive resolve (same extension as the
+                    # single-device xpbd step: world space, zero radius)
+                    free = (st.inv_mass > 0.0)[:, None]
+                    xs = jnp.where(free,
+                                   collide_particles(xs, 0.0, colliders),
+                                   xs)
                 return (xs, el, tl), None
 
             (x_star, e_lam, t_lam), _ = jax.lax.scan(

@@ -112,6 +112,24 @@ def test_remote_world_async_pipeline():
         assert last[:, 1].mean() < topo.vertices[:, 1].mean()
 
 
+def test_reinit_resets_world():
+    """A second MSG_INIT replaces the world (Server.cpp:106-110): positions
+    return to the new rest state and lambdas restart from zero."""
+    topo = meshes.tet_cube(2, 2, 2, size=0.5, center=(0.0, 0.7, 0.0))
+    srv = PBDServer(port=0, verbose=False).start_background().wait_ready()
+    with PBDClient(port=srv.port) as cli:
+        cli.init(topo.vertices, topo.edges, topo.tets)
+        for _ in range(30):
+            pos1 = cli.step(DT)
+        assert pos1[:, 1].mean() < topo.vertices[:, 1].mean()  # fell
+
+        cli.init(topo.vertices, topo.edges, topo.tets)          # re-INIT
+        pos2 = cli.step(DT)
+        # one step after re-INIT is near the rest pose again
+        assert np.abs(pos2 - topo.vertices).max() < 0.05
+        assert np.abs(np.asarray(srv.engine.state.edge_lambda)).max() < 1.0
+
+
 def test_fuzzed_frames_never_crash_server():
     """Garbage frames must tear the session down cleanly (reference
     semantics) and never hang or crash the server thread."""
