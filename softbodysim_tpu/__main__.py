@@ -34,6 +34,14 @@ def main(argv=None):
 
     sub.add_parser("info", help="environment info")
 
+    tetra = sub.add_parser(
+        "tetra", help="tetrahedralize a closed OBJ into a .tet.npz asset")
+    tetra.add_argument("input", help="closed triangle mesh (.obj)")
+    tetra.add_argument("-o", "--output", required=True,
+                       help="output topology file (.tet.npz)")
+    tetra.add_argument("--resolution", type=int, default=12,
+                       help="voxels across the longest extent")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "serve":
@@ -73,6 +81,15 @@ def main(argv=None):
         root = os.path.join(os.path.dirname(__file__), "..")
         sys.argv = ["bench.py"]
         runpy.run_path(os.path.join(root, "bench.py"), run_name="__main__")
+    elif args.cmd == "tetra":
+        from .core.tetrahedralize import topology_from_obj
+        from .io import save_topology
+
+        topo = topology_from_obj(args.input, resolution=args.resolution)
+        save_topology(args.output, topo)
+        print(f"{args.input} -> {args.output}: V={topo.num_particles} "
+              f"E={topo.num_edges} T={topo.num_tets} "
+              f"S={len(topo.surface_tris)}")
     elif args.cmd == "info":
         import jax
 
