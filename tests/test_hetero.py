@@ -41,6 +41,23 @@ def test_hetero_padded_particles_stay_pinned():
     assert np.isfinite(xs).all()
 
 
+def test_hetero_with_cloth_body():
+    """Mixed tet body + cloth (no tets) in one hetero batch."""
+    cloth, pinned = meshes.cloth_patch(6, 6, size=0.5, height=0.8)
+    ball = meshes.tet_ball(1, 0.2, (1.0, 0.8, 0.0))
+    params = SolverParams(dialect="jacobi", substeps=1, iterations=4,
+                          use_pallas="off", ground_enabled=False)
+    het = HeteroEngine([cloth, ball], params, pinned=[pinned, None])
+    for _ in range(20):
+        het.step(DT)
+    out = het.positions()
+    assert np.isfinite(out[0]).all() and np.isfinite(out[1]).all()
+    # cloth pins held; free cloth sagged; ball fell
+    np.testing.assert_allclose(out[0][pinned], cloth.vertices[pinned],
+                               atol=1e-6)
+    assert out[1][:, 1].mean() < ball.vertices[:, 1].mean()
+
+
 def test_hetero_extreme_test_layout():
     """ExtremeTest-shaped workload: 6 mixed bodies, one program, settles."""
     topos = []
