@@ -442,6 +442,232 @@ def make_xpbd_sharded_step(topology: Topology, params: SolverParams,
     return step
 
 
+def make_vertex_sharded_step(topology: Topology, params: SolverParams,
+                             mesh: Mesh, axis: str = "model"):
+    """Vertex-sharded single-scene jacobi step: the big-scene scaling mode.
+
+    Unlike the constraint-parallel step (positions replicated, deltas
+    psum'd), here the STATE itself is sharded: each device owns a
+    contiguous vertex block (grid/RCM order keeps blocks local), holds that
+    block's rows of the padded adjacency, and runs every per-particle stage
+    (predict, gather-sweeps, apply, collide, commit) on its block only.
+    The one collective per constraint sweep is an ``all_gather`` of the
+    positions (tiled ring over ICI on real hardware) so neighbor lookups
+    can cross block boundaries.  Memory per device scales 1/P -- this is
+    the mode for scenes that do not fit one chip.
+
+    Returns ``step(state, dt) -> state`` over a padded-V state; use
+    ``step.build_state()`` / ``step.unpad(x)`` for construction and
+    readback.  Single scene (no batch axis); jacobi dialect.
+    """
+    from ..core.adjacency import padded_edge_adjacency, padded_tet_adjacency
+    from ..solver.jacobi import (apply_delta as _apply,
+                                 edge_gather_deltas as _edge)
+
+    npd = mesh.shape[axis]
+    nv = topology.num_particles
+    vb = -(-nv // npd)
+    vpad = vb * npd
+
+    def padv(a, fill=0.0):
+        out = np.full((vpad,) + a.shape[1:], fill, a.dtype)
+        out[:nv] = a
+        return out
+
+    # padded adjacency over ALL vertices, then sharded along V
+    e_other, e_eidx, e_mask = padded_edge_adjacency(nv, topology.edges)
+    e_rest_p = topology.edge_rest[e_eidx].astype(np.float32)
+    de = e_other.shape[1]
+    e_other = padv(e_other.astype(np.int32))
+    e_rest_p = padv(e_rest_p)
+    e_mask = padv(e_mask, False)
+
+    t_tidx, t_role, t_mask = padded_tet_adjacency(nv, topology.tets)
+    has_tets = topology.num_tets > 0
+
+    # per-device tet working sets: the tets referenced by the device's
+    # vertex rows, with row slots remapped to device-local tet ids
+    t_local_tets, t_local_rest, t_slot_l, t_tidx_l = [], [], [], []
+    td_max = 1
+    if has_tets:
+        locals_ = []
+        for d in range(npd):
+            lo, hi = min(nv, d * vb), min(nv, (d + 1) * vb)
+            rows = slice(lo, hi)
+            ref = np.unique(t_tidx[rows][t_mask[rows]])
+            locals_.append(ref)
+            td_max = max(td_max, len(ref))
+        for d in range(npd):
+            lo, hi = min(nv, d * vb), min(nv, (d + 1) * vb)
+            ref = locals_[d]
+            remap = np.zeros(max(1, topology.num_tets), np.int64)
+            remap[ref] = np.arange(len(ref))
+            tl = np.zeros((td_max, 4), np.int32)
+            tr = np.zeros((td_max,), np.float32)
+            tl[:len(ref)] = topology.tets[ref]
+            tr[:len(ref)] = topology.tet_rest_vol[ref]
+            t_local_tets.append(tl)
+            t_local_rest.append(tr)
+            # device-local slot = role * td_max + local tet id
+            rows_idx = np.zeros((vb,) + t_tidx.shape[1:], np.int64)
+            rows_msk = np.zeros((vb,) + t_mask.shape[1:], bool)
+            n_rows = hi - lo
+            rows_idx[:n_rows] = remap[t_tidx[lo:hi]]
+            rows_msk[:n_rows] = t_mask[lo:hi]
+            roles = np.zeros_like(rows_idx)
+            roles[:n_rows] = t_role[lo:hi]
+            t_slot_l.append((roles * td_max + rows_idx).astype(np.int32))
+            t_tidx_l.append(rows_idx.astype(np.int32))
+            t_local_rest[-1] = tr
+            del rows_msk  # mask comes from the sharded global t_mask
+        t_local_tets = jnp.asarray(np.stack(t_local_tets))     # (P,Td,4)
+        t_local_rest = jnp.asarray(np.stack(t_local_rest))     # (P,Td)
+        t_slot_l = jnp.asarray(np.stack(t_slot_l))             # (P,Vb,Dt)
+        t_mask_j = jnp.asarray(padv(t_mask, False))
+        t_tidx_l = jnp.asarray(np.stack(t_tidx_l))
+    gravity = jnp.asarray(params.gravity, jnp.float32)
+    k_edge = jnp.float32(params.edge_stiffness)
+    k_vol = jnp.float32(params.volume_stiffness)
+    omega = jnp.float32(params.sor_omega)
+    has_edges = topology.num_edges > 0
+
+    eo_j = jnp.asarray(e_other)
+    er_j = jnp.asarray(e_rest_p)
+    em_j = jnp.asarray(e_mask)
+
+    from ..core.state import tet_signed_volume as _tsv
+
+    def local_tet_deltas(x_full, w_full, w_loc, tets_l, rest_l, slot_l,
+                         tidx_l, mask_l):
+        a, b, c_, d_ = (tets_l[:, 0], tets_l[:, 1], tets_l[:, 2],
+                        tets_l[:, 3])
+        pa, pb, pc, pd = x_full[a], x_full[b], x_full[c_], x_full[d_]
+        wa, wb, wc, wd = w_full[a], w_full[b], w_full[c_], w_full[d_]
+        ga = jnp.cross(pd - pb, pc - pb) / 6.0
+        gb = jnp.cross(pc - pa, pd - pa) / 6.0
+        gc = jnp.cross(pd - pa, pb - pa) / 6.0
+        gd = jnp.cross(pb - pa, pc - pa) / 6.0
+        wsum = (wa * jnp.sum(ga * ga, -1) + wb * jnp.sum(gb * gb, -1)
+                + wc * jnp.sum(gc * gc, -1) + wd * jnp.sum(gd * gd, -1))
+        valid = ((wa + wb + wc + wd) != 0.0) & (wsum >= 1e-20)
+        vol = _tsv(pa, pb, pc, pd)
+        lam = jnp.where(valid, -k_vol * ((vol - rest_l) /
+                                         jnp.where(wsum == 0, 1.0, wsum)),
+                        0.0)
+        glam = jnp.concatenate(
+            [ga * lam[:, None], gb * lam[:, None],
+             gc * lam[:, None], gd * lam[:, None]], 0)       # (4Td, 3)
+        rows = glam[slot_l]                                   # (Vb, Dt, 3)
+        m = jnp.where(mask_l, 1.0, 0.0)[..., None]
+        delta = jnp.sum(rows * m, 1) * w_loc[:, None]
+        cnt = jnp.sum(valid[tidx_l] & mask_l & (w_loc[:, None] != 0), 1
+                      ).astype(jnp.int32)
+        return delta, cnt
+
+    def body(x_loc, v_loc, w_loc, eo, er, em, tl, tr, sl, tm, til, dt):
+        sdt = dt / max(1, params.substeps)
+
+        def gather_full(x):
+            return jax.lax.all_gather(x, axis, tiled=True)
+
+        w_full = gather_full(w_loc)
+
+        def iteration(x_pred_loc, _):
+            x_full = gather_full(x_pred_loc)
+            if has_edges:
+                # local rows with global neighbor lookups
+                xj = x_full[eo]
+                wi = w_loc[:, None]
+                wj = w_full[eo]
+                wsum = wi + wj
+                dvec = x_pred_loc[:, None, :] - xj
+                ln2 = jnp.sum(dvec * dvec, -1)
+                valid = em & (wsum != 0) & (ln2 >= 1e-18)
+                ln = jnp.sqrt(jnp.maximum(ln2, 1e-30))
+                cc = ln - er
+                nrm = dvec / ln[..., None]
+                lam = jnp.where(
+                    valid, -k_edge * (cc / jnp.where(wsum == 0, 1, wsum)),
+                    0.0)
+                delta = jnp.sum(nrm * (lam * wi)[..., None], 1)
+                cnt = jnp.sum(valid, 1, dtype=jnp.int32)
+                x_pred_loc = _apply(x_pred_loc, w_loc, delta, cnt, omega)
+            if has_tets:
+                x_full2 = gather_full(x_pred_loc)
+                delta, cnt = local_tet_deltas(
+                    x_full2, w_full, w_loc, tl, tr, sl, til, tm)
+                x_pred_loc = _apply(x_pred_loc, w_loc, delta, cnt, omega)
+            if params.ground_enabled:
+                pw = project_ground_plane(
+                    x_pred_loc, max(1e-6, params.particle_radius),
+                    jnp.asarray(params.ground_point, jnp.float32),
+                    jnp.asarray(params.ground_normal, jnp.float32))
+                x_pred_loc = jnp.where((w_loc != 0)[:, None], pw,
+                                       x_pred_loc)
+            return x_pred_loc, None
+
+        def substep(carry, _):
+            x_loc, v_loc = carry
+            pinned = (w_loc == 0.0)[:, None]
+            v = jnp.where(pinned, 0.0, v_loc + gravity * sdt)
+            x_pred = jnp.where(pinned, x_loc, x_loc + v * sdt)
+            x_pred, _ = jax.lax.scan(iteration, x_pred, None,
+                                     length=params.iterations)
+            inv_dt = jnp.where(sdt > 0.0, 1.0 / sdt, 0.0)
+            v = jnp.where(pinned, 0.0, (x_pred - x_loc) * inv_dt)
+            x = jnp.where(pinned, x_loc, x_pred)
+            return (x, v), None
+
+        (x_loc, v_loc), _ = jax.lax.scan(
+            substep, (x_loc, v_loc), None, length=max(1, params.substeps))
+        return x_loc, v_loc
+
+    vspec = P(axis)
+    in_specs = (vspec, vspec, vspec, vspec, vspec, vspec,
+                P(axis), P(axis), P(axis), vspec, P(axis), P())
+    if has_tets:
+        extra = (t_local_tets, t_local_rest, t_slot_l, t_mask_j, t_tidx_l)
+    else:
+        zt = jnp.zeros((npd, 1, 4), jnp.int32)
+        zr = jnp.zeros((npd, 1), jnp.float32)
+        zs = jnp.zeros((npd, vb, 1), jnp.int32)
+        zm = jnp.zeros((vpad, 1), bool)
+        extra = (zt, zr, zs, zm, zs)
+
+    sharded = jax.shard_map(
+        lambda x, v, w, eo, er, em, tl, tr, sl, tm, til, dt: body(
+            x, v, w, eo, er, em, tl[0], tr[0], sl[0], tm, til[0], dt),
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=(vspec, vspec),
+        check_vma=False,
+    )
+
+    w0 = padv(np.zeros((nv,), np.float32))
+
+    def step(state_xvw, dt):
+        """state_xvw: (x (Vpad,3), v (Vpad,3), w (Vpad,)) padded arrays."""
+        x, v, w = state_xvw
+        x, v = sharded(x, v, w, eo_j, er_j, em_j, *extra,
+                       jnp.asarray(dt, jnp.float32))
+        return (x, v, w)
+
+    def build_state(pinned=None, inv_mass_mode="density", density=1.0):
+        from ..core.state import init_state
+
+        st = init_state(topology, pinned=pinned,
+                        inv_mass_mode=inv_mass_mode, density=density)
+        return (jnp.asarray(padv(np.asarray(st.x))),
+                jnp.zeros((vpad, 3), jnp.float32),
+                jnp.asarray(padv(np.asarray(st.inv_mass))))
+
+    step.build_state = build_state
+    step.unpad = lambda arr: np.asarray(arr)[:nv]
+    step.vpad = vpad
+    del w0
+    return step
+
+
 def make_data_parallel_step(topology: Topology, params: SolverParams,
                             mesh: Mesh,
                             colliders: Optional[Colliders] = None,
