@@ -176,6 +176,25 @@ def trace(log_dir: str = "/tmp/softbodysim_trace"):
         jax.profiler.stop_trace()
 
 
+def trace_summary(log_dir: str, top: int = 20):
+    """Aggregate device-op durations from a jax.profiler trace directory
+    (written by ``trace()``): returns [(total_us, op_name)] sorted by
+    time -- the 'where did the step go' view without tensorboard."""
+    import collections
+    import glob
+    import gzip
+    import json
+
+    agg = collections.Counter()
+    for fn in glob.glob(log_dir + "/**/*.trace.json.gz", recursive=True):
+        with gzip.open(fn, "rt") as f:
+            data = json.load(f)
+        for ev in data.get("traceEvents", []):
+            if ev.get("ph") == "X" and "dur" in ev:
+                agg[ev.get("name", "?")] += ev["dur"]
+    return [(dur, name) for name, dur in agg.most_common(top)]
+
+
 def step_rate(step_fn, state, dt, steps: int = 50,
               warmup: int = 3) -> Dict[str, float]:
     """End-to-end steps/sec for any jitted step fn (the FPS counter)."""
