@@ -41,6 +41,23 @@ def test_asset_simulates():
 
 
 @needs_reference
+def test_parse_entire_asset_corpus():
+    """All 157 shipped .asset files parse with consistent index bounds
+    (runs in ~1.5 s; the parser is pure line scanning)."""
+    import glob
+
+    files = sorted(glob.glob(os.path.join(GEN, "*.asset")))
+    assert len(files) >= 100
+    for f in files:
+        raw = parse_tet_asset(f)
+        nv = len(raw["vertices"])
+        assert nv > 0 and raw["tetIds"].size > 0
+        assert raw["tetIds"].max() < nv
+        assert raw["edgeIds"].max() < nv
+        assert raw["surfaceTriIds"].max() < nv
+
+
+@needs_reference
 def test_raw_parse_shapes():
     raw = parse_tet_asset(os.path.join(GEN, "Icosphere_Tet.asset"))
     assert raw["tetIds"].size % 4 == 0
