@@ -129,10 +129,12 @@ class SolverParams:
     # large V), or "auto" (pick by particle count).
     jacobi_backend: str = "auto"
 
-    # XPBD colored-sweep backend: "scatter" (padded color groups under
-    # lax.scan with scatter-adds) or "gather" (color-major constraint
-    # layout: contiguous lambda slices + per-color correction-table row
-    # gathers).  "auto" == gather.
+    # XPBD sweep backend: "scatter" (padded color groups under lax.scan
+    # with scatter-adds), "gather" (color-major constraint layout:
+    # contiguous lambda slices + per-color correction-table row gathers),
+    # or "pallas" (VMEM-resident particle table + lane-shuffle sweeps,
+    # kernels/sweep.py -- the big-single-scene fast path; ordering is
+    # block-synchronous rather than colored-GS).  "auto" == gather.
     xpbd_backend: str = "auto"
 
     # Chebyshev semi-iterative acceleration for the jacobi dialect (Wang

@@ -1,0 +1,867 @@
+"""Pallas TPU constraint-sweep kernels -- the PBDServer hot loop, on-chip.
+
+This is the TPU-native replacement for the reference's two hot constraint
+sweeps (C++ Gauss-Seidel: CProgram/src/Sim.cpp:100-173; HLSL Jacobi twins
+K_EdgeGather / K_VolumeGather: Assets/Shaders/SoftBodyCompute.compute:230-370).
+The XLA formulation of those sweeps bottoms out at a flat ~3.2 ns per gathered
+row (measured, PLAN.md); these kernels keep the particle table resident in
+VMEM and replace every gather/scatter with 128-lane VPU shuffles.
+
+Design (measured on TPU v5e, see PLAN.md round-2 tables):
+
+* Particle state lives in VMEM for the whole sweep as an (8, Vpad) f32 table,
+  lane-major: sublanes 0-2 = xyz of x*, sublane 3 = inverse mass.  103k
+  particles = 3.3 MB, well under the ~16 MB VMEM budget.
+* Constraints are packed host-side (``pack_constraints``) into 128-lane
+  *blocks*.  Each block touches at most S (default 4) distinct 128-vertex
+  windows ("slots").  All per-block data (relative lane indices, inverse
+  scatter maps, rest values, lambdas) streams through the grid pipeline.
+* Gather: per role, the endpoint index is stored as slot*128+lane; the kernel
+  does one ``take_along_axis`` lane-shuffle per slot and masks.  Measured
+  ~2-3 ns per (role, slot) visit -- vs 3.2 ns *per row* for XLA gathers.
+* Scatter: corrections for all roles are assembled into 8-sublane tiles and
+  written back with ONE read-modify-write per slot, using precomputed inverse
+  lane maps.  Within-block duplicate vertices are handled by static "layers"
+  (a vertex hit k times gets k inverse-map entries, summed in-register) --
+  this is what frees the packing from global graph coloring.
+* Ordering semantics: blocks execute sequentially (grid steps on one core),
+  so updates propagate between blocks exactly like Gauss-Seidel; within a
+  block all constraints read the same pre-block state and their corrections
+  sum (Jacobi).  This "block-synchronous" hybrid sits between the reference's
+  two dialects (C++ serial GS, Unity per-particle Jacobi) and is bitwise
+  deterministic; tests/oracle.py::xpbd_block_reference replays it exactly.
+
+The kernels are fp32 end-to-end with the reference's guard constants
+(Sim.cpp:101,114,157).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+SUBBLOCKS = 8          # constraint blocks processed per grid step
+
+
+# --------------------------------------------------------------------------
+# Host-side packing
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class SweepPlan:
+    """Static packed-block schedule for one constraint family.
+
+    Arrays are laid out for direct streaming through the Pallas grid:
+
+    slots : (NBLK, 8) int32   -- cols 0..S-1: window ids; col S: used count
+    rel   : (NBLK*arity, LANES) int32 -- per role, slot*128 + lane_in_window
+    inv   : (NBLK*S*dmax, LANES) int32 -- per (slot, layer): lane -> source
+            (role*128 + block_lane), or -1
+    rest  : (NBLK, LANES) f32 -- rest length / signed rest volume, 1.0 pad
+    perm  : (NBLK*LANES,) int64 -- packed lane -> original constraint id (-1 pad)
+    pos_of: (N,) int64 -- original constraint id -> packed lane
+    """
+
+    arity: int
+    num_blocks: int
+    nslots: int
+    dmax: int
+    slots: np.ndarray
+    rel: np.ndarray
+    inv: np.ndarray
+    rest: np.ndarray
+    perm: np.ndarray
+    pos_of: np.ndarray
+    scale: np.ndarray   # (rows, LANES) f32 per-lane dlambda under-relaxation
+
+    @property
+    def capacity(self) -> int:
+        return self.num_blocks * LANES
+
+
+def pack_constraints(cons: np.ndarray, rest: np.ndarray, num_windows: int,
+                     *, slots_cap: int = 4, layer_cap: int = 3) -> SweepPlan:
+    """Pack constraints into 128-lane blocks with bounded window slots.
+
+    Greedy multi-pass: constraints sorted by window tuple fill blocks in
+    order; one that would exceed the slot budget, the lane budget, or the
+    per-vertex layer budget spills to the next pass.  O(N * passes).
+    """
+    cons = np.asarray(cons, np.int64)
+    n, arity = cons.shape
+    win = cons // LANES
+
+    order = np.lexsort(tuple(win[:, r] for r in reversed(range(arity))))
+    remaining = list(order)
+
+    blocks = []     # list of (slot_list, [constraint ids])
+
+    while remaining:
+        spill = []
+        cur_slots: list = []
+        cur_ids: list = []
+        cur_counts: dict = {}
+        streak = 0          # consecutive rejects: close stalled blocks
+
+        def close():
+            nonlocal cur_slots, cur_ids, cur_counts, streak
+            if cur_ids:
+                blocks.append((cur_slots, cur_ids))
+            cur_slots, cur_ids, cur_counts = [], [], {}
+            streak = 0
+
+        for i in remaining:
+            ws = set(win[i])
+            new_slots = [w for w in ws if w not in cur_slots]
+            if (len(cur_ids) >= LANES
+                    or len(cur_slots) + len(new_slots) > slots_cap):
+                # Full blocks close immediately; slot-starved blocks close
+                # once enough consecutive items bounced (otherwise a single
+                # 4-window block would reject the entire rest of the pass,
+                # degenerating to O(N) passes).
+                if len(cur_ids) >= LANES or streak >= 64:
+                    close()
+                    new_slots = list(ws)
+                else:
+                    spill.append(i)
+                    streak += 1
+                    continue
+            if any(cur_counts.get(v, 0) >= layer_cap for v in cons[i]):
+                spill.append(i)
+                streak += 1
+                continue
+            cur_slots.extend(new_slots)
+            cur_ids.append(i)
+            streak = 0
+            for v in cons[i]:
+                cur_counts[v] = cur_counts.get(v, 0) + 1
+        close()
+        remaining = spill
+
+    nblk = -(-max(len(blocks), 1) // SUBBLOCKS) * SUBBLOCKS
+    s_cap = slots_cap
+    dmax = 1
+
+    slots = np.zeros((nblk, 8), np.int32)
+    rel = np.zeros((nblk, arity, LANES), np.int32)
+    rest_p = np.ones((nblk, LANES), np.float32)
+    perm = np.full((nblk * LANES,), -1, np.int64)
+    scale = np.ones((nblk, LANES), np.float32)
+
+    inv_entries = np.full((nblk, s_cap, layer_cap, LANES), -1, np.int32)
+
+    for b, (slot_list, ids) in enumerate(blocks):
+        slot_list = list(slot_list)
+        for t, w in enumerate(slot_list):
+            slots[b, t] = w
+        for t in range(len(slot_list), s_cap):
+            slots[b, t] = slot_list[0] if slot_list else 0
+        slots[b, s_cap] = len(slot_list)
+
+        lane_layers: dict = {}
+        for j, i in enumerate(ids):
+            perm[b * LANES + j] = i
+            rest_p[b, j] = rest[i]
+            for r in range(arity):
+                v = int(cons[i, r])
+                t = slot_list.index(v // LANES)
+                l_in = v % LANES
+                rel[b, r, j] = t * LANES + l_in
+                layer = lane_layers.get((t, l_in), 0)
+                lane_layers[(t, l_in)] = layer + 1
+                dmax = max(dmax, layer + 1)
+                inv_entries[b, t, layer, l_in] = r * LANES + j
+        # dlambda under-relaxation: a constraint whose vertex receives m
+        # summed corrections this block applies (and accumulates) dlambda/m
+        # -- the reference's cnt-averaged Jacobi apply
+        # (SoftBodySolver.cs:521-527), kept XPBD-consistent.  m==1 (the
+        # common case) leaves pure block-GS behavior untouched.
+        for j, i in enumerate(ids):
+            m = 1
+            for r in range(arity):
+                v = int(cons[i, r])
+                m = max(m, lane_layers[(slot_list.index(v // LANES),
+                                        v % LANES)])
+            scale[b, j] = np.float32(1.0) / np.float32(m)
+
+    inv = inv_entries[:, :, :dmax, :].reshape(nblk * s_cap * dmax, LANES)
+    inv = np.ascontiguousarray(inv)
+
+    pos_of = np.full((n,), -1, np.int64)
+    valid = perm >= 0
+    pos_of[perm[valid]] = np.flatnonzero(valid)
+
+    return SweepPlan(
+        arity=arity, num_blocks=nblk, nslots=s_cap, dmax=dmax,
+        slots=slots, rel=rel.reshape(nblk * arity, LANES), inv=inv,
+        rest=rest_p, perm=perm, pos_of=pos_of, scale=scale,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class SuperPlan:
+    """Packed schedule at super-block granularity: 1024 constraints (8
+    sublanes x 128 lanes) per block, sharing one window-slot pool.
+
+    Every VPU op in the kernel then processes 1024 constraints (sublane =
+    sub-block), vs 128 for SweepPlan -- measured ~2.5-3x fewer ops/constraint.
+    Within a super-block all constraints read pre-block state and their
+    corrections sum (cross-sublane duplicates via an in-register sublane
+    reduction, same-sublane duplicates via static scatter layers).
+
+    slots : (NSUP, 128) int32 -- cols 0..S-1 windows, col S used count
+    rel   : (NSUP*arity*8, 128) int32 -- per (block, role) an (8,128) tile,
+            value slot*128+lane, tile position (sublane, lane) = constraint
+    inv   : (NSUP*S*dmax*8, 128) int32 -- per (block, slot, layer) an (8,128)
+            tile: [sublane g, window-lane l] = role*128 + source lane, or -1
+    rest,lam layout: (NSUP*8, 128)
+    perm  : (NSUP*8*128,) packed position -> constraint id (-1 pad)
+    """
+
+    arity: int
+    num_super: int
+    nslots: int
+    dmax: int
+    slots: np.ndarray
+    rel: np.ndarray
+    inv: np.ndarray
+    rest: np.ndarray
+    perm: np.ndarray
+    pos_of: np.ndarray
+    scale: np.ndarray   # (NSUP*8, LANES) f32 per-lane dlambda under-relaxation
+
+    @property
+    def capacity(self) -> int:
+        return self.num_super * 8 * LANES
+
+
+def pack_superblocks(cons: np.ndarray, rest: np.ndarray, num_windows: int,
+                     *, slots_cap: int = 8, layer_cap: int = 2) -> SuperPlan:
+    """Pack constraints into 1024-lane super-blocks (see SuperPlan)."""
+    cons = np.asarray(cons, np.int64)
+    n, arity = cons.shape
+    win = cons // LANES
+
+    order = np.lexsort(tuple(win[:, r] for r in reversed(range(arity))))
+    remaining = list(order)
+
+    blocks = []   # (slot_list, lanes) where lanes = list of 8 lists of ids
+
+    while remaining:
+        spill = []
+        cur_slots: list = []
+        lanes = [[] for _ in range(8)]
+        counts: dict = {}         # (sublane, vertex) -> multiplicity
+        cur_n = 0
+        streak = 0
+
+        def close():
+            nonlocal cur_slots, lanes, counts, cur_n, streak
+            if cur_n:
+                blocks.append((cur_slots, lanes))
+            cur_slots = []
+            lanes = [[] for _ in range(8)]
+            counts = {}
+            cur_n = 0
+            streak = 0
+
+        for i in remaining:
+            ws = set(win[i])
+            new_slots = [w for w in ws if w not in cur_slots]
+            if (cur_n >= 8 * LANES
+                    or len(cur_slots) + len(new_slots) > slots_cap):
+                if cur_n >= 8 * LANES or streak >= 256:
+                    close()
+                    new_slots = list(ws)
+                else:
+                    spill.append(i)
+                    streak += 1
+                    continue
+            # pick the sublane with a free lane where this constraint's
+            # vertices have the lowest multiplicity
+            best_g, best_m = -1, layer_cap
+            for off in range(8):
+                g = (cur_n + off) % 8
+                if len(lanes[g]) >= LANES:
+                    continue
+                m = max(counts.get((g, v), 0) for v in cons[i])
+                if m < best_m:
+                    best_g, best_m = g, m
+                    if m == 0:
+                        break
+            if best_g < 0:
+                spill.append(i)
+                streak += 1
+                continue
+            cur_slots.extend(new_slots)
+            lanes[best_g].append(i)
+            cur_n += 1
+            streak = 0
+            for v in cons[i]:
+                counts[(best_g, v)] = counts.get((best_g, v), 0) + 1
+        close()
+        remaining = spill
+
+    nsup = -(-max(len(blocks), 1) // SUBBLOCKS) * SUBBLOCKS
+    s_cap = slots_cap
+    dmax = 1
+
+    slots = np.zeros((nsup, LANES), np.int32)
+    rel = np.zeros((nsup, arity, 8, LANES), np.int32)
+    rest_p = np.ones((nsup, 8, LANES), np.float32)
+    perm = np.full((nsup * 8 * LANES,), -1, np.int64)
+    scale = np.ones((nsup, 8, LANES), np.float32)
+    inv_entries = np.full((nsup, s_cap, layer_cap, 8, LANES), -1, np.int32)
+
+    for b, (slot_list, lanes) in enumerate(blocks):
+        slot_list = list(slot_list)
+        for t, w in enumerate(slot_list):
+            slots[b, t] = w
+        for t in range(len(slot_list), s_cap):
+            slots[b, t] = slot_list[0] if slot_list else 0
+        slots[b, s_cap] = len(slot_list)
+
+        lane_layers: dict = {}
+        totals: dict = {}          # cross-sublane multiplicity per vertex
+        for g in range(8):
+            for j, i in enumerate(lanes[g]):
+                perm[(b * 8 + g) * LANES + j] = i
+                rest_p[b, g, j] = rest[i]
+                for r in range(arity):
+                    v = int(cons[i, r])
+                    t = slot_list.index(v // LANES)
+                    l_in = v % LANES
+                    rel[b, r, g, j] = t * LANES + l_in
+                    layer = lane_layers.get((g, t, l_in), 0)
+                    lane_layers[(g, t, l_in)] = layer + 1
+                    dmax = max(dmax, layer + 1)
+                    inv_entries[b, t, layer, g, l_in] = r * LANES + j
+                    totals[v] = totals.get(v, 0) + 1
+        # cnt-averaged Jacobi apply (see pack_constraints): each constraint
+        # scales dlambda by 1 / (max summed corrections over its vertices)
+        for g in range(8):
+            for j, i in enumerate(lanes[g]):
+                m = max(totals[int(cons[i, r])] for r in range(arity))
+                scale[b, g, j] = np.float32(1.0) / np.float32(m)
+
+    inv = np.ascontiguousarray(
+        inv_entries[:, :, :dmax].reshape(nsup * s_cap * dmax * 8, LANES))
+
+    pos_of = np.full((n,), -1, np.int64)
+    valid = perm >= 0
+    pos_of[perm[valid]] = np.flatnonzero(valid)
+
+    return SuperPlan(
+        arity=arity, num_super=nsup, nslots=s_cap, dmax=dmax,
+        slots=slots, rel=rel.reshape(nsup * arity * 8, LANES), inv=inv,
+        rest=rest_p.reshape(nsup * 8, LANES), perm=perm, pos_of=pos_of,
+        scale=scale.reshape(nsup * 8, LANES),
+    )
+
+
+def order_vertices(vertices: np.ndarray, edges: np.ndarray,
+                   tets: np.ndarray, mode: str = "auto") -> np.ndarray:
+    """Choose a vertex permutation (new <- old) minimizing window spread.
+
+    "natural" keeps the input order; "morton" sorts by 3D Morton code of the
+    rest positions (good for unstructured meshes); "auto" evaluates both with
+    a cheap slot-visit estimate and picks the better.
+    """
+    v = np.asarray(vertices, np.float64)
+
+    def morton(p):
+        lo = p.min(0)
+        ext = np.maximum(p.max(0) - lo, 1e-9)
+        q = ((p - lo) / ext * 1023.0).astype(np.uint32)
+
+        def spread(x):
+            x = x.astype(np.uint64)
+            x = (x | (x << 16)) & 0x030000FF
+            x = (x | (x << 8)) & 0x0300F00F
+            x = (x | (x << 4)) & 0x030C30C3
+            x = (x | (x << 2)) & 0x09249249
+            return x
+
+        return spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+
+    if mode == "natural":
+        return np.arange(len(v), dtype=np.int64)
+    mor = np.argsort(morton(v), kind="stable").astype(np.int64)
+    if mode == "morton":
+        return mor
+
+    def visits(perm):
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(len(perm))
+        total = 0
+        for cons in (edges, tets):
+            if cons is None or len(cons) == 0:
+                continue
+            w = inv[np.asarray(cons, np.int64)] // LANES
+            so = np.lexsort(tuple(w[:, r] for r in reversed(range(w.shape[1]))))
+            w = w[so]
+            nb = -(-len(w) // LANES)
+            pad = nb * LANES - len(w)
+            if pad:
+                w = np.concatenate([w, np.repeat(w[-1:], pad, 0)], 0)
+            blk = np.sort(w.reshape(nb, LANES, -1), axis=1)
+            total += int((blk[:, 1:] != blk[:, :-1]).sum()) + nb * blk.shape[2]
+        return total
+
+    nat = np.arange(len(v), dtype=np.int64)
+    return nat if visits(nat) <= visits(mor) else mor
+
+
+# --------------------------------------------------------------------------
+# Kernels
+# --------------------------------------------------------------------------
+
+def _gather_role(xout_ref, wins, rel_row, nslots):
+    """Gather one role's (8, LANES) particle rows via per-slot lane shuffles."""
+    rel8 = jnp.broadcast_to(rel_row, (8, LANES))
+    acc = jnp.zeros((8, LANES), jnp.float32)
+    for t in range(nslots):
+        xw = xout_ref[:, pl.ds(wins[t] * LANES, LANES)]
+        relt = rel8 - t * LANES
+        valid = (relt >= 0) & (relt < LANES)
+        g = jnp.take_along_axis(xw, jnp.clip(relt, 0, LANES - 1), axis=1)
+        acc = jnp.where(valid, g, acc)
+    return acc
+
+
+def _scatter_slot(xout_ref, w, adds3):
+    """One read-modify-write of a 128-vertex window: xyz += adds3."""
+    xw = xout_ref[:, pl.ds(w * LANES, LANES)]
+    new = jnp.concatenate([xw[0:3] + adds3, xw[3:8]], axis=0)
+    xout_ref[:, pl.ds(w * LANES, LANES)] = new
+
+
+def _edge_kernel(alpha_ref, slots_ref, rel_ref, inv_ref, rest_ref,
+                 scale_ref, lam_ref, xin_ref, xout_ref, lamout_ref,
+                 *, S, DMAX):
+    s = pl.program_id(0)
+
+    @pl.when(s == 0)
+    def _():
+        xout_ref[:] = xin_ref[:]
+
+    alpha = alpha_ref[0, 0]
+    for g in range(SUBBLOCKS):
+        wins = [slots_ref[g, t] for t in range(S)]
+        ns = slots_ref[g, S]
+
+        a0 = _gather_role(xout_ref, wins, rel_ref[pl.ds(2 * g, 1), :], S)
+        a1 = _gather_role(xout_ref, wins, rel_ref[pl.ds(2 * g + 1, 1), :], S)
+
+        # XPBD distance projection (Sim.cpp:100-130)
+        d = a0[0:3] - a1[0:3]
+        length = jnp.sqrt(jnp.sum(d * d, axis=0, keepdims=True))
+        w0 = a0[3:4]
+        w1 = a1[3:4]
+        wsum = w0 + w1
+        valid = (wsum != 0.0) & (length >= 1e-12)
+        c = length - rest_ref[g:g + 1, :]
+        lam = lam_ref[g:g + 1, :]
+        denom = wsum + alpha
+        dlam = jnp.where(valid, (-c - alpha * lam)
+                         / jnp.where(denom == 0.0, 1.0, denom), 0.0)
+        dlam = dlam * scale_ref[g:g + 1, :]
+        nrm = d / jnp.where(length < 1e-12, 1.0, length)
+        corr = nrm * dlam
+        lamout_ref[g:g + 1, :] = lam + dlam
+
+        zero1 = jnp.zeros((1, LANES), jnp.float32)
+        c8 = jnp.concatenate(
+            [corr * w0, zero1, -corr * w1, zero1], axis=0)  # (8,128)
+
+        for t in range(S):
+            @pl.when(t < ns)
+            def _(t=t):
+                adds = jnp.zeros((3, LANES), jnp.float32)
+                for l in range(DMAX):
+                    row = g * S * DMAX + t * DMAX + l
+                    idx = jnp.broadcast_to(
+                        inv_ref[pl.ds(row, 1), :], (8, LANES))
+                    has = idx >= 0
+                    j = jnp.clip(idx, 0, 2 * LANES - 1)
+                    role1 = j >= LANES
+                    g8 = jnp.take_along_axis(c8, j & (LANES - 1), axis=1)
+                    pick = jnp.where(role1[0:3], g8[4:7], g8[0:3])
+                    adds = adds + jnp.where(has[0:3], pick, 0.0)
+                _scatter_slot(xout_ref, wins[t], adds)
+
+
+def _cross3(a, b):
+    """Cross product on (3, LANES) component-row tiles."""
+    return jnp.concatenate([
+        a[1:2] * b[2:3] - a[2:3] * b[1:2],
+        a[2:3] * b[0:1] - a[0:1] * b[2:3],
+        a[0:1] * b[1:2] - a[1:2] * b[0:1],
+    ], axis=0)
+
+
+def _dot3(a, b):
+    return jnp.sum(a * b, axis=0, keepdims=True)
+
+
+def _tet_kernel(alpha_ref, slots_ref, rel_ref, inv_ref, rest_ref,
+                scale_ref, lam_ref, xin_ref, xout_ref, lamout_ref,
+                *, S, DMAX):
+    s = pl.program_id(0)
+
+    @pl.when(s == 0)
+    def _():
+        xout_ref[:] = xin_ref[:]
+
+    alpha = alpha_ref[0, 0]
+    for g in range(SUBBLOCKS):
+        wins = [slots_ref[g, t] for t in range(S)]
+        ns = slots_ref[g, S]
+
+        acc = [_gather_role(xout_ref, wins, rel_ref[pl.ds(4 * g + r, 1), :], S)
+               for r in range(4)]
+        pa, pb, pc, pd = (a[0:3] for a in acc)
+        wa, wb, wc, wd = (a[3:4] for a in acc)
+
+        # XPBD volume projection, gradient form (Sim.cpp:132-173)
+        sixth = jnp.float32(1.0 / 6.0)
+        ga = _cross3(pd - pb, pc - pb) * sixth
+        gb = _cross3(pc - pa, pd - pa) * sixth
+        gc = _cross3(pd - pa, pb - pa) * sixth
+        gd = _cross3(pb - pa, pc - pa) * sixth
+
+        wsum = (wa * _dot3(ga, ga) + wb * _dot3(gb, gb)
+                + wc * _dot3(gc, gc) + wd * _dot3(gd, gd))
+        valid = ((wa + wb + wc + wd) != 0.0) & (wsum >= 1e-20)
+
+        vol = _dot3(_cross3(pb - pa, pc - pa), pd - pa) * sixth
+        cfn = vol - rest_ref[g:g + 1, :]
+        lam = lam_ref[g:g + 1, :]
+        denom = wsum + alpha
+        dlam = jnp.where(valid, (-cfn - alpha * lam)
+                         / jnp.where(denom == 0.0, 1.0, denom), 0.0)
+        dlam = dlam * scale_ref[g:g + 1, :]
+        lamout_ref[g:g + 1, :] = lam + dlam
+
+        zero1 = jnp.zeros((1, LANES), jnp.float32)
+        cab = jnp.concatenate(
+            [ga * (wa * dlam), zero1, gb * (wb * dlam), zero1], axis=0)
+        ccd = jnp.concatenate(
+            [gc * (wc * dlam), zero1, gd * (wd * dlam), zero1], axis=0)
+
+        for t in range(S):
+            @pl.when(t < ns)
+            def _(t=t):
+                adds = jnp.zeros((3, LANES), jnp.float32)
+                for l in range(DMAX):
+                    row = g * S * DMAX + t * DMAX + l
+                    idx = jnp.broadcast_to(
+                        inv_ref[pl.ds(row, 1), :], (8, LANES))
+                    has = idx >= 0
+                    j = jnp.clip(idx, 0, 4 * LANES - 1)
+                    hi = (j >= 2 * LANES)
+                    half = (j & LANES) > 0
+                    lane = j & (LANES - 1)
+                    g_ab = jnp.take_along_axis(cab, lane, axis=1)
+                    g_cd = jnp.take_along_axis(ccd, lane, axis=1)
+                    g8 = jnp.where(hi, g_cd, g_ab)
+                    pick = jnp.where(half[0:3], g8[4:7], g8[0:3])
+                    adds = adds + jnp.where(has[0:3], pick, 0.0)
+                _scatter_slot(xout_ref, wins[t], adds)
+
+
+# --------------------------------------------------------------------------
+# Super-block kernels: every VPU op covers 1024 constraints (sublane = the
+# 128-constraint sub-block).  Gather: one (8,128) window slice per slot,
+# per-component sublane broadcast + lane shuffle.  Scatter: per-sublane lane
+# shuffle from per-(role,comp) correction tiles, summed across sublanes, one
+# RMW per slot.
+# --------------------------------------------------------------------------
+
+def _gather_super(xout_ref, wins, rel, S):
+    """rel (8,128) -> ((8,128) x 4): x,y,z,invmass tiles for one role."""
+    ax = ay = az = aw = jnp.zeros((8, LANES), jnp.float32)
+    for t in range(S):
+        xw = xout_ref[:, pl.ds(wins[t] * LANES, LANES)]
+        relt = rel - t * LANES
+        val = (relt >= 0) & (relt < LANES)
+        cl = jnp.clip(relt, 0, LANES - 1)
+        for c, acc in enumerate((ax, ay, az, aw)):
+            row = jnp.broadcast_to(xw[c:c + 1, :], (8, LANES))
+            g = jnp.take_along_axis(row, cl, axis=1)
+            if c == 0:
+                ax = jnp.where(val, g, acc)
+            elif c == 1:
+                ay = jnp.where(val, g, acc)
+            elif c == 2:
+                az = jnp.where(val, g, acc)
+            else:
+                aw = jnp.where(val, g, acc)
+    return ax, ay, az, aw
+
+
+def _scatter_super(xout_ref, w, accx, accy, accz):
+    """Sum (8,128) per-sublane contributions and RMW one window."""
+    addx = jnp.sum(accx, axis=0, keepdims=True)
+    addy = jnp.sum(accy, axis=0, keepdims=True)
+    addz = jnp.sum(accz, axis=0, keepdims=True)
+    xw = xout_ref[:, pl.ds(w * LANES, LANES)]
+    new = jnp.concatenate(
+        [xw[0:1] + addx, xw[1:2] + addy, xw[2:3] + addz, xw[3:8]], axis=0)
+    xout_ref[:, pl.ds(w * LANES, LANES)] = new
+
+
+def _edge_kernel_super(alpha_ref, slots_ref, rel_ref, inv_ref, rest_ref,
+                       scale_ref, lam_ref, xin_ref, xout_ref, lamout_ref,
+                       *, S, DMAX):
+    s = pl.program_id(0)
+
+    @pl.when(s == 0)
+    def _():
+        xout_ref[:] = xin_ref[:]
+
+    alpha = alpha_ref[0, 0]
+    for sb in range(SUBBLOCKS):
+        wins = [slots_ref[sb, t] for t in range(S)]
+        ns = slots_ref[sb, S]
+        r0 = rel_ref[(sb * 2) * 8:(sb * 2) * 8 + 8, :]
+        r1 = rel_ref[(sb * 2 + 1) * 8:(sb * 2 + 1) * 8 + 8, :]
+        a0x, a0y, a0z, a0w = _gather_super(xout_ref, wins, r0, S)
+        a1x, a1y, a1z, a1w = _gather_super(xout_ref, wins, r1, S)
+
+        dx = a0x - a1x
+        dy = a0y - a1y
+        dz = a0z - a1z
+        length = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        wsum = a0w + a1w
+        valid = (wsum != 0.0) & (length >= 1e-12)
+        c = length - rest_ref[sb * 8:sb * 8 + 8, :]
+        lam = lam_ref[sb * 8:sb * 8 + 8, :]
+        denom = wsum + alpha
+        dlam = jnp.where(valid, (-c - alpha * lam)
+                         / jnp.where(denom == 0.0, 1.0, denom), 0.0)
+        dlam = dlam * scale_ref[sb * 8:sb * 8 + 8, :]
+        lamout_ref[sb * 8:sb * 8 + 8, :] = lam + dlam
+        # same association as the classic kernel / oracle: (d/len)*dlam*w
+        inv_len = 1.0 / jnp.where(length < 1e-12, 1.0, length)
+        nx, ny, nz = dx * inv_len, dy * inv_len, dz * inv_len
+        cx, cy, cz = nx * dlam, ny * dlam, nz * dlam
+        cx0, cy0, cz0 = cx * a0w, cy * a0w, cz * a0w
+        cx1, cy1, cz1 = -cx * a1w, -cy * a1w, -cz * a1w
+
+        for t in range(S):
+            @pl.when(t < ns)
+            def _(t=t):
+                accx = accy = accz = jnp.zeros((8, LANES), jnp.float32)
+                for l in range(DMAX):
+                    row = ((sb * S + t) * DMAX + l) * 8
+                    inv = inv_ref[row:row + 8, :]
+                    has = inv >= 0
+                    j = jnp.clip(inv, 0, 2 * LANES - 1)
+                    role1 = j >= LANES
+                    jl = j & (LANES - 1)
+                    gx = jnp.where(role1, jnp.take_along_axis(cx1, jl, axis=1),
+                                   jnp.take_along_axis(cx0, jl, axis=1))
+                    gy = jnp.where(role1, jnp.take_along_axis(cy1, jl, axis=1),
+                                   jnp.take_along_axis(cy0, jl, axis=1))
+                    gz = jnp.where(role1, jnp.take_along_axis(cz1, jl, axis=1),
+                                   jnp.take_along_axis(cz0, jl, axis=1))
+                    accx = accx + jnp.where(has, gx, 0.0)
+                    accy = accy + jnp.where(has, gy, 0.0)
+                    accz = accz + jnp.where(has, gz, 0.0)
+                _scatter_super(xout_ref, wins[t], accx, accy, accz)
+
+
+def _cross_c(ax, ay, az, bx, by, bz):
+    return (ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx)
+
+
+def _tet_kernel_super(alpha_ref, slots_ref, rel_ref, inv_ref, rest_ref,
+                      scale_ref, lam_ref, xin_ref, xout_ref, lamout_ref,
+                      *, S, DMAX):
+    s = pl.program_id(0)
+
+    @pl.when(s == 0)
+    def _():
+        xout_ref[:] = xin_ref[:]
+
+    alpha = alpha_ref[0, 0]
+    sixth = jnp.float32(1.0 / 6.0)
+    for sb in range(SUBBLOCKS):
+        wins = [slots_ref[sb, t] for t in range(S)]
+        ns = slots_ref[sb, S]
+        acc = []
+        for r in range(4):
+            rel = rel_ref[(sb * 4 + r) * 8:(sb * 4 + r) * 8 + 8, :]
+            acc.append(_gather_super(xout_ref, wins, rel, S))
+        (pax, pay, paz, wa), (pbx, pby, pbz, wb), \
+            (pcx, pcy, pcz, wc), (pdx, pdy, pdz, wd) = acc
+
+        # gradients (Sim.cpp:132-173), per component
+        gax, gay, gaz = _cross_c(pdx - pbx, pdy - pby, pdz - pbz,
+                                 pcx - pbx, pcy - pby, pcz - pbz)
+        gbx, gby, gbz = _cross_c(pcx - pax, pcy - pay, pcz - paz,
+                                 pdx - pax, pdy - pay, pdz - paz)
+        gcx, gcy, gcz = _cross_c(pdx - pax, pdy - pay, pdz - paz,
+                                 pbx - pax, pby - pay, pbz - paz)
+        gdx, gdy, gdz = _cross_c(pbx - pax, pby - pay, pbz - paz,
+                                 pcx - pax, pcy - pay, pcz - paz)
+        gax, gay, gaz = gax * sixth, gay * sixth, gaz * sixth
+        gbx, gby, gbz = gbx * sixth, gby * sixth, gbz * sixth
+        gcx, gcy, gcz = gcx * sixth, gcy * sixth, gcz * sixth
+        gdx, gdy, gdz = gdx * sixth, gdy * sixth, gdz * sixth
+
+        wsum = (wa * (gax * gax + gay * gay + gaz * gaz)
+                + wb * (gbx * gbx + gby * gby + gbz * gbz)
+                + wc * (gcx * gcx + gcy * gcy + gcz * gcz)
+                + wd * (gdx * gdx + gdy * gdy + gdz * gdz))
+        valid = ((wa + wb + wc + wd) != 0.0) & (wsum >= 1e-20)
+
+        # signed volume = cross(b-a, c-a) . (d-a) / 6 == gd . (d-a)
+        vol = (gdx * (pdx - pax) + gdy * (pdy - pay) + gdz * (pdz - paz))
+        cfn = vol - rest_ref[sb * 8:sb * 8 + 8, :]
+        lam = lam_ref[sb * 8:sb * 8 + 8, :]
+        denom = wsum + alpha
+        dlam = jnp.where(valid, (-cfn - alpha * lam)
+                         / jnp.where(denom == 0.0, 1.0, denom), 0.0)
+        dlam = dlam * scale_ref[sb * 8:sb * 8 + 8, :]
+        lamout_ref[sb * 8:sb * 8 + 8, :] = lam + dlam
+
+        sa = wa * dlam
+        sb_ = wb * dlam
+        sc = wc * dlam
+        sd = wd * dlam
+        comps = (
+            (gax * sa, gbx * sb_, gcx * sc, gdx * sd),
+            (gay * sa, gby * sb_, gcy * sc, gdy * sd),
+            (gaz * sa, gbz * sb_, gcz * sc, gdz * sd),
+        )
+
+        for t in range(S):
+            @pl.when(t < ns)
+            def _(t=t):
+                accs = [jnp.zeros((8, LANES), jnp.float32) for _ in range(3)]
+                for l in range(DMAX):
+                    row = ((sb * S + t) * DMAX + l) * 8
+                    inv = inv_ref[row:row + 8, :]
+                    has = inv >= 0
+                    j = jnp.clip(inv, 0, 4 * LANES - 1)
+                    hi = j >= 2 * LANES
+                    odd = (j & LANES) > 0
+                    jl = j & (LANES - 1)
+                    for ci in range(3):
+                        ca, cb, cc, cd = comps[ci]
+                        g_ab = jnp.where(odd,
+                                         jnp.take_along_axis(cb, jl, axis=1),
+                                         jnp.take_along_axis(ca, jl, axis=1))
+                        g_cd = jnp.where(odd,
+                                         jnp.take_along_axis(cd, jl, axis=1),
+                                         jnp.take_along_axis(cc, jl, axis=1))
+                        pick = jnp.where(hi, g_cd, g_ab)
+                        accs[ci] = accs[ci] + jnp.where(has, pick, 0.0)
+                _scatter_super(xout_ref, wins[t], accs[0], accs[1], accs[2])
+
+
+# --------------------------------------------------------------------------
+# Call builders
+# --------------------------------------------------------------------------
+
+def make_sweep(plan, num_windows: int, *, interpret: bool = False):
+    """Build ``sweep(x8, lam_packed, alpha) -> (x8, lam_packed)``.
+
+    x8 is the (8, Vpad) particle table (rows 0-2 xyz, row 3 inverse mass);
+    lam_packed is (lam_rows(plan), LANES) f32 in packed lane order; alpha is
+    a traced f32 scalar (compliance / dt^2).  Accepts either a SweepPlan
+    (128-constraint blocks) or a SuperPlan (1024-constraint super-blocks).
+    """
+    S, DMAX = plan.nslots, plan.dmax
+    vpad = num_windows * LANES
+    gb = SUBBLOCKS
+    if isinstance(plan, SuperPlan):
+        kernel = (_edge_kernel_super if plan.arity == 2
+                  else _tet_kernel_super)
+        nstep = plan.num_super // gb
+        lam_rows_ = plan.num_super * 8
+        slots_spec = pl.BlockSpec((gb, LANES), lambda s: (s, 0),
+                                  memory_space=pltpu.SMEM)
+        rel_spec = pl.BlockSpec((gb * plan.arity * 8, LANES),
+                                lambda s: (s, 0), memory_space=pltpu.VMEM)
+        inv_spec = pl.BlockSpec((gb * S * DMAX * 8, LANES), lambda s: (s, 0),
+                                memory_space=pltpu.VMEM)
+        data_spec = pl.BlockSpec((gb * 8, LANES), lambda s: (s, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        kernel = _edge_kernel if plan.arity == 2 else _tet_kernel
+        nstep = plan.num_blocks // gb
+        lam_rows_ = plan.num_blocks
+        slots_spec = pl.BlockSpec((gb, 8), lambda s: (s, 0),
+                                  memory_space=pltpu.SMEM)
+        rel_spec = pl.BlockSpec((gb * plan.arity, LANES), lambda s: (s, 0),
+                                memory_space=pltpu.VMEM)
+        inv_spec = pl.BlockSpec((gb * S * DMAX, LANES), lambda s: (s, 0),
+                                memory_space=pltpu.VMEM)
+        data_spec = pl.BlockSpec((gb, LANES), lambda s: (s, 0),
+                                 memory_space=pltpu.VMEM)
+
+    slots_j = jnp.asarray(plan.slots)
+    rel_j = jnp.asarray(plan.rel)
+    inv_j = jnp.asarray(plan.inv)
+    rest_j = jnp.asarray(plan.rest)
+    scale_j = jnp.asarray(plan.scale)
+
+    call = pl.pallas_call(
+        functools.partial(kernel, S=S, DMAX=DMAX),
+        grid=(nstep,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda s: (0, 0), memory_space=pltpu.SMEM),
+            slots_spec, rel_spec, inv_spec, data_spec, data_spec, data_spec,
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            data_spec,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((8, vpad), jnp.float32),
+            jax.ShapeDtypeStruct((lam_rows_, LANES), jnp.float32),
+        ),
+        interpret=interpret,
+    )
+
+    def sweep(x8, lam_packed, alpha):
+        alpha2 = jnp.asarray(alpha, jnp.float32).reshape(1, 1)
+        return call(alpha2, slots_j, rel_j, inv_j, rest_j, scale_j,
+                    lam_packed, x8)
+
+    return sweep
+
+
+def lam_rows(plan) -> int:
+    return (plan.num_super * 8 if isinstance(plan, SuperPlan)
+            else plan.num_blocks)
+
+
+def block_width(plan) -> int:
+    """Constraints per synchronous block (the oracle's replay granularity)."""
+    return 8 * LANES if isinstance(plan, SuperPlan) else LANES
+
+
+def pack_lambda(plan, lam: jnp.ndarray) -> jnp.ndarray:
+    """Public-order (N,) lambdas -> packed (lam_rows, LANES)."""
+    perm = jnp.asarray(np.maximum(plan.perm, 0))
+    mask = jnp.asarray(plan.perm >= 0)
+    flat = jnp.where(mask, lam[perm], 0.0)
+    return flat.reshape(lam_rows(plan), LANES)
+
+
+def unpack_lambda(plan, lam_packed: jnp.ndarray) -> jnp.ndarray:
+    """Packed (lam_rows, LANES) -> public-order (N,)."""
+    return lam_packed.reshape(-1)[jnp.asarray(plan.pos_of)]

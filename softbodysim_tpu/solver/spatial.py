@@ -43,11 +43,17 @@ def _cell_hash(cells, table_size):
     return (h & (table_size - 1)).astype(jnp.int32)
 
 
-def self_collision_deltas(p, inv_mass, radius, cell_size, max_per_cell):
+def self_collision_deltas(p, inv_mass, radius, cell_size, max_per_cell,
+                          return_overflow: bool = False):
     """Compute per-particle separation deltas from particle-particle overlap.
 
     Returns (N, 3) deltas; caller applies them (typically once per solver
     iteration, after primitive collisions).
+
+    With ``return_overflow=True`` also returns the number of candidate
+    entries that did NOT fit the fixed ``max_per_cell`` window (an int32
+    scalar, device-side).  Non-zero overflow means contacts were silently
+    under-resolved this step -- resize with ``required_max_per_cell``.
     """
     n = p.shape[0]
     table_size = _next_pow2(2 * n)
@@ -100,11 +106,33 @@ def self_collision_deltas(p, inv_mass, radius, cell_size, max_per_cell):
 
     overlap = (min_dist - dist) * share
     push = nvec * jnp.where(hit, overlap, 0.0)[..., None]
-    return jnp.sum(push, axis=(1, 2))
+    deltas = jnp.sum(push, axis=(1, 2))
+    if not return_overflow:
+        return deltas
+    dropped = jnp.where(dup, 0, jnp.maximum(end - start - max_per_cell, 0))
+    return deltas, jnp.sum(dropped).astype(jnp.int32)
+
+
+def required_max_per_cell(p, cell_size, num_particles: int = None) -> int:
+    """Host-side capacity autosizer: the smallest ``max_per_cell`` with zero
+    dropped candidates for these positions (= the largest hash-bucket
+    occupancy, hash collisions included).  Call at init (or whenever overflow
+    is reported) and rebuild the step with the returned cap."""
+    p = np.asarray(p)
+    table_size = _next_pow2(2 * (num_particles or len(p)))
+    cells = np.floor(p / float(cell_size)).astype(np.int64)
+    h = ((cells[:, 0] * _P1) ^ (cells[:, 1] * _P2)
+         ^ (cells[:, 2] * _P3)) & (table_size - 1)
+    if len(h) == 0:
+        return 1
+    return int(np.bincount(h).max())
 
 
 def make_self_collision_fn(params):
-    """Bind static parameters; returns fn(p_world, inv_mass, radius)."""
+    """Bind static parameters; returns fn(p_world, inv_mass, radius).
+    A cap of 0 (``self_collision_max_per_cell=0``) means autosize per
+    topology at Engine build time (the Engine resolves it via
+    ``required_max_per_cell`` on the rest positions)."""
     cell = float(params.self_collision_cell)
     cap = int(params.self_collision_max_per_cell)
 
@@ -112,4 +140,5 @@ def make_self_collision_fn(params):
         delta = self_collision_deltas(pw, inv_mass, radius, cell, cap)
         return jnp.where((inv_mass > 0.0)[:, None], pw + delta, pw)
 
+    fn.max_per_cell = cap
     return fn

@@ -211,6 +211,11 @@ def make_xpbd_step(topology, params: SolverParams,
     has_tets = topology.num_tets > 0
 
     backend = params.xpbd_backend
+    if backend == "pallas":
+        # VMEM-resident Pallas sweep kernels (kernels/sweep.py); its own
+        # module owns layout conversion and the block-synchronous ordering
+        from .xpbd_pallas import make_xpbd_pallas_step
+        return make_xpbd_pallas_step(topology, params, colliders)
     if backend == "auto":
         # color-major gather sweeps beat the padded scatter scans ~8x on
         # v5e (row gathers vs serialized scatters)

@@ -1,0 +1,285 @@
+"""XPBD solver, Pallas-sweep backend -- the single-big-scene fast path.
+
+Same physics contract as solver/xpbd.py (the C++ PBDServer semantics,
+CProgram/src/Sim.cpp:100-222: XPBD compliance, lambda accumulated across the
+whole run, ground clamp inside iterations, friction at commit), but the two
+hot constraint sweeps run as Pallas kernels (kernels/sweep.py) that keep the
+particle table VMEM-resident.  Ordering semantics are *block-synchronous*
+(Jacobi within a 128-constraint block, Gauss-Seidel across blocks); the NumPy
+oracle for this ordering is tests/oracle.py::xpbd_block_reference.
+
+Internal state layout (device):
+  x8 : (8, Vpad) f32  -- rows 0-2 x* xyz, row 3 inverse mass (lane-major)
+  xp : (3, Vpad) f32  -- committed positions
+  vv : (3, Vpad) f32  -- velocities
+Vertices are permuted to a locality-friendly order (kernels/sweep.py::
+order_vertices) and padded to a multiple of 128 with pinned zero-mass slots;
+the permutation is applied/inverted only at the public SimState boundary.
+``step.step_n(state, dt, n)`` amortizes that boundary over n steps.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.state import SimState, SolverParams
+from ..collide.primitives import Colliders, collide_particles
+from ..kernels import sweep as sw
+
+LANES = 128
+
+# Packing a 600k-constraint topology takes seconds of host work; memoize per
+# (topology object, packing params) so rebuilding steps with different
+# substeps/iterations reuses the plans.  Entries die with the topology.
+_PLAN_CACHE: dict = {}
+
+
+def _cached_plans(topology, vertex_order, slots_cap, layer_cap, nwin,
+                  superblocks):
+    import weakref
+
+    key = (id(topology), vertex_order, slots_cap, layer_cap, superblocks)
+    hit = _PLAN_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    has_edges = topology.num_edges > 0
+    has_tets = topology.num_tets > 0
+    perm = sw.order_vertices(
+        topology.vertices,
+        topology.edges if has_edges else None,
+        topology.tets if has_tets else None,
+        mode=vertex_order)                       # new slot -> old id
+    old2new = np.empty_like(perm)
+    old2new[perm] = np.arange(topology.num_particles)
+
+    e_plan = t_plan = None
+    if superblocks:
+        # 1024-wide super-blocks: slot pool 8; same-sublane multiplicity cap
+        # 2 for edges (degree ~14 spreads over 8 sublanes), 3 for tets
+        # (interior vertices sit in ~24 tets).
+        scap = 8 if slots_cap is None else slots_cap
+        if has_edges:
+            e_plan = sw.pack_superblocks(
+                old2new[topology.edges.astype(np.int64)],
+                topology.edge_rest, nwin, slots_cap=scap,
+                layer_cap=layer_cap or 2)
+        if has_tets:
+            t_plan = sw.pack_superblocks(
+                old2new[topology.tets.astype(np.int64)],
+                topology.tet_rest_vol, nwin, slots_cap=scap,
+                layer_cap=layer_cap or 3)
+    else:
+        scap = 4 if slots_cap is None else slots_cap
+        if has_edges:
+            e_plan = sw.pack_constraints(
+                old2new[topology.edges.astype(np.int64)],
+                topology.edge_rest, nwin,
+                slots_cap=scap, layer_cap=layer_cap or 3)
+        if has_tets:
+            t_plan = sw.pack_constraints(
+                old2new[topology.tets.astype(np.int64)],
+                topology.tet_rest_vol, nwin,
+                slots_cap=scap, layer_cap=layer_cap or 3)
+
+    result = (perm, e_plan, t_plan)
+    _PLAN_CACHE[key] = result
+    try:
+        weakref.finalize(topology, _PLAN_CACHE.pop, key, None)
+    except TypeError:  # pragma: no cover - non-weakrefable topology
+        pass
+    return result
+
+
+def _f32(x):
+    return jnp.asarray(x, jnp.float32)
+
+
+def make_xpbd_pallas_step(topology, params: SolverParams,
+                          colliders: Optional[Colliders] = None,
+                          *, interpret: Optional[bool] = None,
+                          vertex_order: str = "auto",
+                          superblocks: bool = True,
+                          slots_cap: Optional[int] = None,
+                          layer_cap: Optional[int] = None):
+    """Build ``step(state, dt, ...) -> state`` on the Pallas sweep kernels.
+
+    interpret=None auto-selects Pallas interpreter mode off-TPU (tests run on
+    the CPU backend).  The returned function also carries ``step.step_n``:
+    ``step_n(state, dt, n) -> state`` runs n steps with the layout/permute
+    boundary paid once (the honest multi-step benchmark path).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if interpret and jax.config.jax_compilation_cache_dir:
+        # jax 0.9's persistent cache segfaults DESERIALIZING executables that
+        # contain interpret-mode pallas_calls (compilation_cache.py:238);
+        # interpret mode is a test/debug path, so trade its caching away.
+        jax.config.update("jax_compilation_cache_dir", None)
+
+    V = topology.num_particles
+    has_edges = topology.num_edges > 0
+    has_tets = topology.num_tets > 0
+    vpad = -(-V // LANES) * LANES
+    nwin = vpad // LANES
+
+    perm, e_plan, t_plan = _cached_plans(
+        topology, vertex_order, slots_cap, layer_cap, nwin, superblocks)
+    old2new = np.empty_like(perm)
+    old2new[perm] = np.arange(V)
+
+    if has_edges:
+        edge_sweep = sw.make_sweep(e_plan, nwin, interpret=interpret)
+    if has_tets:
+        tet_sweep = sw.make_sweep(t_plan, nwin, interpret=interpret)
+
+    perm_j = jnp.asarray(perm)
+    old2new_j = jnp.asarray(old2new)
+    gravity = jnp.asarray(params.gravity, jnp.float32)
+    fr = min(1.0, max(0.0, params.friction))
+    pad = vpad - V
+
+    # ---- public <-> internal layout --------------------------------------
+
+    def to_rows(state: SimState):
+        def rows3(a):                      # (V,3) -> (3,Vpad), permuted
+            return jnp.pad(a[perm_j], ((0, pad), (0, 0))).T
+        w = jnp.pad(state.inv_mass[perm_j], (0, pad))
+        x8 = jnp.concatenate(
+            [rows3(state.x_star), w[None, :],
+             jnp.zeros((4, vpad), jnp.float32)], axis=0)
+        lam_e = (sw.pack_lambda(e_plan, state.edge_lambda)
+                 if has_edges else jnp.zeros((8, LANES), jnp.float32))
+        lam_t = (sw.pack_lambda(t_plan, state.tet_lambda)
+                 if has_tets else jnp.zeros((8, LANES), jnp.float32))
+        return (x8, rows3(state.x), rows3(state.v), lam_e, lam_t)
+
+    def to_public(carry, state: SimState) -> SimState:
+        x8, xp, vv, lam_e, lam_t = carry
+
+        def unrows(rows):                  # (3,Vpad) -> (V,3), unpermuted
+            return rows.T[old2new_j]
+
+        return SimState(
+            x=unrows(xp), v=unrows(vv), x_star=unrows(x8[0:3]),
+            inv_mass=state.inv_mass,
+            edge_lambda=(sw.unpack_lambda(e_plan, lam_e)
+                         if has_edges else state.edge_lambda),
+            tet_lambda=(sw.unpack_lambda(t_plan, lam_t)
+                        if has_tets else state.tet_lambda),
+        )
+
+    # ---- substep pieces (all on row layout) ------------------------------
+
+    def predict(x8, xp, vv, sdt):
+        """Semi-implicit Euler (Sim.cpp:178-185); pinned rows hold still."""
+        free = x8[3:4] != 0.0
+        vv = jnp.where(free, vv + gravity[:, None] * sdt, vv)
+        xs = jnp.where(free, xp + vv * sdt, xp)
+        return x8.at[0:3].set(xs), vv
+
+    def ground(x8):
+        """Axis-aligned y clamp (Sim.cpp:187-195)."""
+        free = x8[3] != 0.0
+        y = x8[1]
+        return x8.at[1].set(
+            jnp.where(free, jnp.maximum(y, params.ground_y), y))
+
+    def collide(x8, cols_rt):
+        free = x8[3] != 0.0
+        p = x8[0:3].T
+        pushed = collide_particles(
+            p, 0.0, cols_rt if cols_rt is not None else colliders)
+        return x8.at[0:3].set(jnp.where(free, pushed.T, x8[0:3]))
+
+    def commit(x8, xp, vv, sdt):
+        """Velocity update + ground friction (Sim.cpp:197-222)."""
+        inv_dt = jnp.where(sdt > 1e-12, 1.0 / sdt, 0.0)
+        free = x8[3:4] != 0.0
+        xs = x8[0:3]
+        vel = (xs - xp) * inv_dt
+        if params.ground_enabled:
+            on_g = xs[1] <= (params.ground_y + 1e-6)
+            vx = jnp.where(on_g, vel[0] * (1.0 - fr), vel[0])
+            vz = jnp.where(on_g, vel[2] * (1.0 - fr), vel[2])
+            vy = jnp.where(on_g & (vel[1] < 0.0), 0.0, vel[1])
+            vel = jnp.stack([vx, vy, vz], axis=0)
+        vv = jnp.where(free, vel, 0.0)
+        xp = jnp.where(free, xs, xp)
+        return x8.at[0:3].set(xp), xp, vv
+
+    def substep(carry, sdt, e_alpha, t_alpha, cols_rt):
+        x8, xp, vv, lam_e, lam_t = carry
+        x8, vv = predict(x8, xp, vv, sdt)
+
+        def iteration(c, _):
+            x8, lam_e, lam_t = c
+            if has_edges:
+                x8, lam_e = edge_sweep(x8, lam_e, e_alpha)
+            if has_tets:
+                x8, lam_t = tet_sweep(x8, lam_t, t_alpha)
+            if params.ground_enabled:
+                x8 = ground(x8)
+            if colliders is not None:
+                x8 = collide(x8, cols_rt)
+            return (x8, lam_e, lam_t), None
+
+        (x8, lam_e, lam_t), _ = jax.lax.scan(
+            iteration, (x8, lam_e, lam_t), None, length=params.iterations)
+        x8, xp, vv = commit(x8, xp, vv, sdt)
+        return (x8, xp, vv, lam_e, lam_t)
+
+    def run_steps(carry, dt, n, ec, vc, cols_rt):
+        ss = max(1, params.substeps)
+        sdt = _f32(dt) / ss
+        inv_dt2 = jnp.where(sdt > 1e-12, 1.0 / (sdt * sdt), 0.0)
+        e_alpha = jnp.maximum(ec, 0.0) * inv_dt2
+        t_alpha = jnp.maximum(vc, 0.0) * inv_dt2
+
+        def one_step(c, _):
+            def one_sub(c2, _):
+                return substep(c2, sdt, e_alpha, t_alpha, cols_rt), None
+            c, _ = jax.lax.scan(one_sub, c, None, length=ss)
+            return c, None
+
+        carry, _ = jax.lax.scan(one_step, carry, None, length=n)
+        return carry
+
+    def _resolve(edge_compliance, volume_compliance, colliders_rt):
+        if colliders_rt is not None and colliders is None:
+            raise ValueError(
+                "runtime colliders require a make-time collider template")
+        ec = _f32(params.edge_compliance if edge_compliance is None
+                  else edge_compliance)
+        vc = _f32(params.volume_compliance if volume_compliance is None
+                  else volume_compliance)
+        return ec, vc
+
+    def step(state: SimState, dt, edge_compliance=None,
+             volume_compliance=None,
+             colliders_rt: Optional[Colliders] = None) -> SimState:
+        ec, vc = _resolve(edge_compliance, volume_compliance, colliders_rt)
+        carry = to_rows(state)
+        carry = run_steps(carry, dt, 1, ec, vc, colliders_rt)
+        return to_public(carry, state)
+
+    def step_n(state: SimState, dt, n: int, edge_compliance=None,
+               volume_compliance=None,
+               colliders_rt: Optional[Colliders] = None) -> SimState:
+        ec, vc = _resolve(edge_compliance, volume_compliance, colliders_rt)
+        carry = to_rows(state)
+        carry = run_steps(carry, dt, n, ec, vc, colliders_rt)
+        return to_public(carry, state)
+
+    step.step_n = step_n
+    # the packed plans define the block-synchronous constraint ordering the
+    # oracle must replay (perm + per-lane dlambda scale)
+    step.block_order = {
+        "edges": e_plan if has_edges else None,
+        "tets": t_plan if has_tets else None,
+    }
+    return step

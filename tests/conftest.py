@@ -10,6 +10,10 @@ no backend has been initialized yet.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# The persistent XLA cache segfaults deserializing interpret-mode Pallas
+# executables (jax 0.9 compilation_cache.get_executable_and_time); tests use
+# interpret mode throughout, so opt out before softbodysim_tpu is imported.
+os.environ["SOFTBODYSIM_NO_COMPILE_CACHE"] = "1"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

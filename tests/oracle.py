@@ -132,6 +132,82 @@ class XpbdOracle:
             self.x_star[c_] = pc + gc * F(wc * dlam)
             self.x_star[d_] = pd + gd * F(wd * dlam)
 
+    # --- block-synchronous ordering (Pallas sweep backend) ---------------
+    # Within a block all constraints read the same pre-block state and their
+    # corrections sum (Jacobi); blocks run sequentially (Gauss-Seidel).
+    # Replays kernels/sweep.py exactly.
+
+    def step_blocks(self, dt, edge_blocks=None, tet_blocks=None):
+        # each block is an id array or an (ids, dlambda_scale) pair
+        p = self.params
+        ss = max(1, p.substeps)
+        sdt = F(dt) / F(ss)
+        for _ in range(ss):
+            self._predict(sdt)
+            for _ in range(p.iterations):
+                for blk in (edge_blocks or []):
+                    self._solve_edges_block(sdt, *self._blk(blk))
+                for blk in (tet_blocks or []):
+                    self._solve_tets_block(sdt, *self._blk(blk))
+                self._ground()
+            self._commit(sdt)
+
+    @staticmethod
+    def _blk(blk):
+        return blk if isinstance(blk, tuple) else (blk, None)
+
+    def _solve_edges_block(self, sdt, ids, scale=None):
+        inv_dt2 = F(1.0) / (sdt * sdt) if sdt > 1e-12 else F(0.0)
+        alpha = F(max(0.0, self.params.edge_compliance)) * inv_dt2
+        i0 = self.edges[ids, 0]
+        i1 = self.edges[ids, 1]
+        w0 = self.w[i0]
+        w1 = self.w[i1]
+        wsum = w0 + w1
+        d = self.x_star[i0] - self.x_star[i1]
+        length = np.sqrt((d * d).sum(-1)).astype(F)
+        valid = (wsum != 0.0) & (length >= 1e-12)
+        c = length - self.edge_rest[ids]
+        lam = self.edge_lambda[ids]
+        denom = wsum + alpha
+        dlam = np.where(valid, (-c - alpha * lam)
+                        / np.where(denom == 0.0, F(1.0), denom), F(0.0))
+        if scale is not None:
+            dlam = (dlam * scale).astype(F)
+        n = d / np.where(length < 1e-12, F(1.0), length)[:, None]
+        corr = n * dlam[:, None]
+        self.edge_lambda[ids] = lam + dlam
+        np.add.at(self.x_star, i0, corr * w0[:, None])
+        np.add.at(self.x_star, i1, -corr * w1[:, None])
+
+    def _solve_tets_block(self, sdt, ids, scale=None):
+        inv_dt2 = F(1.0) / (sdt * sdt) if sdt > 1e-12 else F(0.0)
+        alpha = F(max(0.0, self.params.volume_compliance)) * inv_dt2
+        a, b, c_, d_ = (self.tets[ids, r] for r in range(4))
+        wa, wb, wc, wd = (self.w[i] for i in (a, b, c_, d_))
+        pa, pb, pc, pd = (self.x_star[i] for i in (a, b, c_, d_))
+        sixth = F(1.0 / 6.0)
+        ga = np.cross(pd - pb, pc - pb) * sixth
+        gb = np.cross(pc - pa, pd - pa) * sixth
+        gc = np.cross(pd - pa, pb - pa) * sixth
+        gd = np.cross(pb - pa, pc - pa) * sixth
+        wsum = (wa * (ga * ga).sum(-1) + wb * (gb * gb).sum(-1)
+                + wc * (gc * gc).sum(-1) + wd * (gd * gd).sum(-1)).astype(F)
+        valid = ((wa + wb + wc + wd) != 0.0) & (wsum >= 1e-20)
+        vol = (np.cross(pb - pa, pc - pa) * (pd - pa)).sum(-1) * sixth
+        cfn = vol.astype(F) - self.tet_rest[ids]
+        lam = self.tet_lambda[ids]
+        denom = wsum + alpha
+        dlam = np.where(valid, (-cfn - alpha * lam)
+                        / np.where(denom == 0.0, F(1.0), denom), F(0.0))
+        if scale is not None:
+            dlam = (dlam * scale).astype(F)
+        self.tet_lambda[ids] = lam + dlam
+        np.add.at(self.x_star, a, ga * (wa * dlam)[:, None])
+        np.add.at(self.x_star, b, gb * (wb * dlam)[:, None])
+        np.add.at(self.x_star, c_, gc * (wc * dlam)[:, None])
+        np.add.at(self.x_star, d_, gd * (wd * dlam)[:, None])
+
     def _ground(self):
         if not self.params.ground_enabled:
             return

