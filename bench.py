@@ -1,15 +1,16 @@
-"""Benchmark: constraint projections/sec on the flagship batched workload.
+"""Benchmark: the BASELINE.json north-star workloads, honestly.
 
-Workload = the TPU analog of the reference's BatchTest scene (20 bodies, the
-largest with V=8613 / T=26070 / E=41488, GPU Jacobi backend, substeps 2 x
-iters 6 -- Assets/Scenes/BatchTest.unity:2912-2920): a vmapped batch of
-tetrahedral bodies stepped with the Jacobi (in-engine GPU contract) dialect,
-ground contact enabled.
+Three workloads, one JSON line (round-1 VERDICT asked for all three numbers
+that were previously only in PLAN.md):
 
-Metric: constraint projections per second =
-    batch * (E + T) * iterations * substeps * steps / elapsed.
-vs_baseline is against the BASELINE.json north-star of 1e8 projections/sec
-per TPU core.
+1. **north_star** (the headline): ONE 100k-particle scene (tet_cube(47),
+   V=110592 / E=642960 / T=519115), XPBD dialect, 8 substeps, ground contact,
+   stepped with the Pallas sweep backend (kernels/sweep.py).  BASELINE.json:
+   ">= 60 Hz".  vs_baseline = steps_per_sec / 60.
+2. **north_star_iters6**: the same scene at the reference's iteration count
+   (substeps 8 x iterations 6) -- the hardest honest configuration.
+3. **batched**: 128 vmapped bunny-scale Jacobi bodies (the BatchTest-style
+   datagen workload) -- constraint projections/sec vs the 1e8/s/core target.
 
 Prints exactly one JSON line.
 """
@@ -20,59 +21,92 @@ import json
 import time
 
 
+def _bench_single(meshes, SolverParams, init_state, make_step, jax,
+                  iterations: int, steps: int):
+    topo = meshes.tet_cube(47, 47, 47, size=1.0, center=(0.0, 2.0, 0.0))
+    params = SolverParams(dialect="xpbd", substeps=8, iterations=iterations,
+                          xpbd_backend="pallas")
+    step = make_step(topo, params)
+    state = init_state(topo)
+    run = jax.jit(lambda s: step.step_n(s, 1.0 / 60.0, steps))
+    out = run(state)
+    jax.block_until_ready(out.x)           # compile + warm
+    elapsed = 1e30
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = run(state)
+        jax.block_until_ready(out.x)
+        elapsed = min(elapsed, time.perf_counter() - t0)
+    per_step = elapsed / steps
+    nproj = ((topo.num_edges + topo.num_tets) * params.substeps
+             * params.iterations)
+    return topo, 1.0 / per_step, per_step * 1e3, nproj / per_step
+
+
 def main():
     import jax
-    import numpy as np
 
     from softbodysim_tpu import SolverParams
     from softbodysim_tpu.core import meshes
+    from softbodysim_tpu.core.state import init_state
+    from softbodysim_tpu.solver import make_step
     from softbodysim_tpu.parallel import BatchedEngine
 
-    # bunny-scale body, batched -- sized so a step is compute-bound.
-    # batch=128 is the measured throughput peak on v5e (larger batches
-    # fall off the VMEM working-set cliff).
-    topo = meshes.tet_cube(10, 10, 10, size=0.8, center=(0.0, 1.0, 0.0))
+    # --- 1. the north star: 100k particles, 8 substeps, one scene ---------
+    topo, sps1, ms1, proj1 = _bench_single(
+        meshes, SolverParams, init_state, make_step, jax,
+        iterations=1, steps=60)
+
+    # --- 2. same scene at the reference's iters=6 -------------------------
+    _, sps6, ms6, proj6 = _bench_single(
+        meshes, SolverParams, init_state, make_step, jax,
+        iterations=6, steps=10)
+
+    # --- 3. batched datagen throughput (BatchTest-style) ------------------
+    btopo = meshes.tet_cube(10, 10, 10, size=0.8, center=(0.0, 1.0, 0.0))
     batch = 128
-    params = SolverParams(
+    bparams = SolverParams(
         dialect="jacobi", substeps=2, iterations=6,
         edge_stiffness=0.9, volume_stiffness=0.98, sor_omega=1.4,
         particle_radius=0.02, gravity=(0.0, -10.0, 0.0),
         jacobi_backend="gather")
-
-    eng = BatchedEngine(topo, params, batch=batch, pos_jitter=0.002)
-
+    eng = BatchedEngine(btopo, bparams, batch=batch, pos_jitter=0.002)
     dt = 1.0 / 60.0
-    # warmup + compile
     eng.step(dt)
     eng.block()
-
-    steps = 50
+    bsteps = 50
     t0 = time.perf_counter()
-    for _ in range(steps):
+    for _ in range(bsteps):
         eng.step(dt)
     eng.block()
-    elapsed = time.perf_counter() - t0
-
-    constraints = topo.num_edges + topo.num_tets
-    projections = (batch * constraints * params.iterations
-                   * params.substeps * steps)
-    rate = projections / elapsed
+    belapsed = time.perf_counter() - t0
+    brate = (batch * (btopo.num_edges + btopo.num_tets)
+             * bparams.iterations * bparams.substeps * bsteps) / belapsed
 
     result = {
-        "metric": "constraint_projections_per_sec",
-        "value": float(f"{rate:.4g}"),
-        "unit": "proj/s",
-        "vs_baseline": float(f"{rate / 1e8:.4g}"),
+        "metric": "100k_particle_8substep_steps_per_sec",
+        "value": float(f"{sps1:.4g}"),
+        "unit": "steps/s",
+        "vs_baseline": float(f"{sps1 / 60.0:.4g}"),
         "detail": {
-            "batch": batch,
-            "V": topo.num_particles,
-            "E": topo.num_edges,
-            "T": topo.num_tets,
-            "substeps": params.substeps,
-            "iterations": params.iterations,
-            "steps": steps,
-            "elapsed_s": round(elapsed, 4),
-            "steps_per_sec": round(steps / elapsed, 2),
+            "north_star": {
+                "V": topo.num_particles, "E": topo.num_edges,
+                "T": topo.num_tets, "substeps": 8, "iterations": 1,
+                "ms_per_step": round(ms1, 2),
+                "steps_per_sec": round(sps1, 2),
+                "proj_per_sec": float(f"{proj1:.4g}"),
+            },
+            "north_star_iters6": {
+                "substeps": 8, "iterations": 6,
+                "ms_per_step": round(ms6, 2),
+                "steps_per_sec": round(sps6, 2),
+                "proj_per_sec": float(f"{proj6:.4g}"),
+            },
+            "batched_128x_jacobi": {
+                "batch": batch, "V": btopo.num_particles,
+                "proj_per_sec": float(f"{brate:.4g}"),
+                "vs_1e8_target": float(f"{brate / 1e8:.4g}"),
+            },
             "device": str(jax.devices()[0]),
         },
     }
