@@ -30,12 +30,20 @@ from .engine import Engine
 
 class PBDServer:
     def __init__(self, host: str = "127.0.0.1", port: int = 7777,
-                 mode: str = "serial", verbose: bool = True):
+                 mode: str = "serial", verbose: bool = True,
+                 pipeline: bool = False):
         self.host = host
         self.port = port
         self.mode = mode
         self.verbose = verbose
+        # Pipelined mode (extension over the reference's lock-step protocol,
+        # Server.cpp:115-137): the reply to STEP k carries the positions of
+        # step k-1, so device compute of step k overlaps the network round
+        # trip and the client's frame work.  One-frame latency, >=1.5x
+        # throughput when client-side work ~ compute (tests/test_protocol).
+        self.pipeline = pipeline
         self.engine: Optional[Engine] = None
+        self._prev_x = None
         self.stats = StepStats()
         self._sock: Optional[socket.socket] = None
         self._thread: Optional[threading.Thread] = None
@@ -106,12 +114,25 @@ class PBDServer:
                 if self.engine is None:
                     continue  # reference ignores STEP before INIT
                 dt = float(np.frombuffer(payload[:4], "<f4")[0])
-                with self.stats.scope("step"):
-                    self.engine.step(dt)
-                    self.engine.block()
-                with self.stats.scope("pack"):
-                    pos = self.engine.positions()
-                    client.sendall(protocol.pack_positions(pos))
+                if self.pipeline:
+                    # reply with step k-1's positions; dispatch step k async.
+                    # Engine.step donates its state buffers, so the reply
+                    # reads a device-side copy made after the previous step.
+                    prev = self._prev_x
+                    with self.stats.scope("step"):
+                        self.engine.step(dt)          # async dispatch
+                    import jax.numpy as jnp
+                    self._prev_x = jnp.array(self.engine.state.x, copy=True)
+                    with self.stats.scope("pack"):
+                        pos = np.asarray(prev)        # waits only for k-1
+                        client.sendall(protocol.pack_positions(pos))
+                else:
+                    with self.stats.scope("step"):
+                        self.engine.step(dt)
+                        self.engine.block()
+                    with self.stats.scope("pack"):
+                        pos = self.engine.positions()
+                        client.sendall(protocol.pack_positions(pos))
                 self._tick_stats()
             elif msg_type == protocol.MSG_SHUTDOWN:
                 break
@@ -140,6 +161,8 @@ class PBDServer:
             surface_tris=np.zeros((0, 3), np.int64), orient=False)
         self.engine = Engine(topo, params, pinned=init.pinned,
                              inv_mass_mode="tet")
+        import jax.numpy as jnp
+        self._prev_x = jnp.array(self.engine.state.x, copy=True)
         self._log(
             f"Init received. V={len(init.x0)} E={len(init.edges)} "
             f"T={len(init.tets)} pinned={len(init.pinned)}")
@@ -174,8 +197,13 @@ def main(argv=None):
                          "the same jitted engine")
     ap.add_argument("--threads", type=int, default=0,
                     help="ignored (XLA manages device parallelism)")
+    ap.add_argument("--pipeline", action="store_true",
+                    help="reply to STEP k with step k-1's positions so "
+                         "device compute overlaps the network round trip "
+                         "(one-frame latency; protocol extension)")
     args = ap.parse_args(argv)
-    PBDServer(host=args.host, port=args.port, mode=args.mode).serve_one()
+    PBDServer(host=args.host, port=args.port, mode=args.mode,
+              pipeline=args.pipeline).serve_one()
 
 
 if __name__ == "__main__":

@@ -95,16 +95,28 @@ class World:
                 b.engine.colliders = self._colliders
 
     # -- stepping --
-    def step(self, dt: Optional[float] = None):
+    def step(self, dt: Optional[float] = None, block: bool = False):
         """One fixed simulation step across all bodies
-        (SoftBodyManager.StepSimulation, :199-237)."""
+        (SoftBodyManager.StepSimulation, :199-237).
+
+        Dispatch is asynchronous: every body's step enters the XLA stream
+        and overlaps freely; nothing waits unless ``block=True`` (or until
+        ``positions()`` / ``sync()`` reads results).  The reference blocks
+        per frame by construction (worker join); here the device pipeline
+        keeps running across steps."""
         dt = self.fixed_dt if dt is None else dt
         t0 = time.perf_counter()
         for body in self.bodies:
             body.engine.step(dt)
+        if block:
+            for body in self.bodies:
+                body.engine.block()
+        self.stats.add("step", time.perf_counter() - t0)
+
+    def sync(self):
+        """Wait for all in-flight steps to finish."""
         for body in self.bodies:
             body.engine.block()
-        self.stats.add("step", time.perf_counter() - t0)
 
     def frame(self, frame_dt: float) -> int:
         """Accumulator-driven frame update (SoftBodyManager.cs:73-94).
