@@ -211,15 +211,19 @@ def make_xpbd_step(topology, params: SolverParams,
     has_tets = topology.num_tets > 0
 
     backend = params.xpbd_backend
+    if backend == "auto":
+        # color-major gather sweeps beat the padded scatter scans ~8x on
+        # v5e; above ~100k constraints the Pallas sweep kernels win another
+        # ~10x (kernels/sweep.py) at the cost of block-synchronous (rather
+        # than colored-GS) constraint ordering -- an ordering change of the
+        # same class as coloring itself, so "auto" takes it for big scenes.
+        big = (topology.num_edges + topology.num_tets) >= 100_000
+        backend = "pallas" if big else "gather"
     if backend == "pallas":
         # VMEM-resident Pallas sweep kernels (kernels/sweep.py); its own
         # module owns layout conversion and the block-synchronous ordering
         from .xpbd_pallas import make_xpbd_pallas_step
         return make_xpbd_pallas_step(topology, params, colliders)
-    if backend == "auto":
-        # color-major gather sweeps beat the padded scatter scans ~8x on
-        # v5e (row gathers vs serialized scatters)
-        backend = "gather"
 
     if backend == "gather":
         import numpy as np
