@@ -155,6 +155,14 @@ class SolverParams:
     self_collision_cell: float = 0.1
     self_collision_max_per_cell: int = 8
 
+    # triangle-level vertex-triangle surface collision (exceed item; the
+    # reference has no body-body collision at all).  cell 0.0 = autosize
+    # from the rest surface (solver/surface_collide.suggested_cell_size)
+    surface_collision: bool = False
+    surface_thickness: float = 0.02
+    surface_collision_cell: float = 0.0
+    surface_collision_max_per_cell: int = 8
+
     def replace(self, **kw) -> "SolverParams":
         return dataclasses.replace(self, **kw)
 

@@ -272,12 +272,25 @@ def make_jacobi_step(topology, params: SolverParams,
     do_collide = params.ground_enabled or k_colliders > 0
     self_collide = (make_self_collision_fn(params) if params.self_collision
                     else None)
+    surf_collide = None
+    if params.surface_collision and len(topology.surface_tris):
+        from .surface_collide import (make_surface_collision_fn,
+                                      suggested_cell_size)
+
+        sparams = params
+        if params.surface_collision_cell <= 0.0:
+            sparams = params.replace(surface_collision_cell=(
+                suggested_cell_size(topology.vertices, topology.surface_tris,
+                                    params.surface_thickness)))
+        surf_collide = make_surface_collision_fn(
+            sparams, topology.surface_tris)
 
     # Pallas fused collide: one VMEM-resident pass over ground + all
     # colliders (kernels/collide.py).  Only on the plain world-space path
     # (no body transform, no self-collision interleaving).
     fused_collide = None
-    if do_collide and local_to_world is None and self_collide is None:
+    if (do_collide and local_to_world is None and self_collide is None
+            and surf_collide is None):
         use = params.use_pallas
         if use == "auto":
             import jax as _jax
@@ -304,6 +317,8 @@ def make_jacobi_step(topology, params: SolverParams,
                 pw, radius, cols_rt if cols_rt is not None else colliders)
         if self_collide is not None:
             pw = self_collide(pw, inv_mass, radius)
+        if surf_collide is not None:
+            pw = surf_collide(pw, inv_mass)
         pl = pw if w2l_rt is None else pw @ w2l_rt[:3, :3].T + w2l_rt[:3, 3]
         return jnp.where((inv_mass != 0.0)[:, None], pl, x_pred)
 
@@ -341,7 +356,8 @@ def make_jacobi_step(topology, params: SolverParams,
                 delta, cnt = tet_jacobi_deltas(
                     x_pred, inv_mass, tets, tet_rest_vol, k_vol, nv)
             x_pred = apply_delta(x_pred, inv_mass, delta, cnt, omega)
-        if do_collide or self_collide is not None:
+        if (do_collide or self_collide is not None
+                or surf_collide is not None):
             x_pred = solve_collisions(x_pred, inv_mass, cols_rt, l2w_rt,
                                       w2l_rt)
         return (x_pred, k_edge, k_vol, omega), None
