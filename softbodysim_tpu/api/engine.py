@@ -72,6 +72,19 @@ class Engine:
         return self
 
     def run(self, steps: int, dt: float = 1.0 / 60.0) -> "Engine":
+        """Run ``steps`` fixed steps.  Backends with a multi-step fast path
+        (the Pallas sweep backend's ``step_n``) run the whole burst in one
+        program, paying their state-layout boundary once instead of per
+        step."""
+        step_n = getattr(self._raw_step, "step_n", None)
+        if step_n is not None and self.colliders is None and steps > 1:
+            key = ("_step_n", steps)
+            if getattr(self, "_step_n_key", None) != key:
+                self._step_n_key = key
+                self._step_n = jax.jit(
+                    lambda s, d: step_n(s, d, steps), donate_argnums=0)
+            self.state = self._step_n(self.state, dt)
+            return self
         for _ in range(steps):
             self.step(dt)
         return self
