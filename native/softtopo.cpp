@@ -294,4 +294,213 @@ void st_vox_get_tets(void* h, int32_t* out) {
 }
 void st_vox_free(void* h) { delete (VoxMesh*)h; }
 
+// ---------------------------------------------------------------------------
+// Super-block constraint packer (kernels/sweep.py::pack_superblocks): the
+// greedy window-slot packing for the Pallas sweep kernels.  Bit-identical to
+// the NumPy/Python fallback (same stable ordering, same greedy scan, same
+// sublane choice), ~20x faster at 100k-constraint scale.
+// ---------------------------------------------------------------------------
+
+struct SuperPack {
+  int32_t arity = 0;
+  int32_t slots_cap = 0;
+  int32_t layer_cap = 0;
+  int32_t dmax = 1;
+  int64_t nsup = 0;
+  // per block: slot list + lanes per sublane (constraint ids)
+  std::vector<std::vector<int32_t>> slot_lists;
+  std::vector<std::array<std::vector<int64_t>, 8>> lanes;
+  std::vector<int64_t> cons;  // copy of (n, arity)
+};
+
+void* st_pack_super(const int64_t* cons, int64_t n, int32_t arity,
+                    int32_t slots_cap, int32_t layer_cap) {
+  const int32_t LANES = 128;
+  auto* sp = new SuperPack();
+  sp->arity = arity;
+  sp->slots_cap = slots_cap;
+  sp->layer_cap = layer_cap;
+  sp->cons.assign(cons, cons + n * arity);
+
+  // stable lexicographic order by window tuple (w0, w1, ..)
+  std::vector<int64_t> order(n);
+  for (int64_t i = 0; i < n; i++) order[i] = i;
+  std::stable_sort(order.begin(), order.end(),
+                   [&](int64_t a, int64_t b) {
+                     for (int r = 0; r < arity; r++) {
+                       int64_t wa = cons[a * arity + r] / LANES;
+                       int64_t wb = cons[b * arity + r] / LANES;
+                       if (wa != wb) return wa < wb;
+                     }
+                     return false;
+                   });
+
+  std::vector<int64_t> remaining = order;
+  std::vector<int64_t> spill;
+  std::vector<int32_t> cur_slots;
+  std::array<std::vector<int64_t>, 8> cur_lanes;
+  std::unordered_map<int64_t, int32_t> counts;  // (g<<48)|vertex -> mult
+  int cur_n = 0, streak = 0;
+
+  auto close = [&]() {
+    if (cur_n) {
+      sp->slot_lists.push_back(cur_slots);
+      sp->lanes.push_back(cur_lanes);
+    }
+    cur_slots.clear();
+    for (auto& l : cur_lanes) l.clear();
+    counts.clear();
+    cur_n = 0;
+    streak = 0;
+  };
+
+  while (!remaining.empty()) {
+    spill.clear();
+    for (int64_t i : remaining) {
+      // distinct new windows of this constraint
+      int32_t ws[4];
+      int nw = 0;
+      for (int r = 0; r < arity; r++) {
+        int32_t w = (int32_t)(cons[i * arity + r] / LANES);
+        bool dup = false;
+        for (int k = 0; k < nw; k++) dup |= (ws[k] == w);
+        if (!dup) ws[nw++] = w;
+      }
+      int n_new = 0;
+      for (int k = 0; k < nw; k++) {
+        bool have = false;
+        for (int32_t s : cur_slots) have |= (s == ws[k]);
+        if (!have) n_new++;
+      }
+      if (cur_n >= 8 * LANES ||
+          (int)cur_slots.size() + n_new > slots_cap) {
+        if (cur_n >= 8 * LANES || streak >= 256) {
+          close();
+        } else {
+          spill.push_back(i);
+          streak++;
+          continue;
+        }
+      }
+      // sublane with a free lane where the vertices have min multiplicity
+      int best_g = -1, best_m = layer_cap;
+      for (int off = 0; off < 8; off++) {
+        int g = (cur_n + off) % 8;
+        if ((int)cur_lanes[g].size() >= LANES) continue;
+        int m = 0;
+        for (int r = 0; r < arity; r++) {
+          auto it = counts.find(((int64_t)g << 48) | cons[i * arity + r]);
+          if (it != counts.end() && it->second > m) m = it->second;
+        }
+        if (m < best_m) {
+          best_g = g;
+          best_m = m;
+          if (m == 0) break;
+        }
+      }
+      if (best_g < 0) {
+        spill.push_back(i);
+        streak++;
+        continue;
+      }
+      for (int k = 0; k < nw; k++) {
+        bool have = false;
+        for (int32_t s : cur_slots) have |= (s == ws[k]);
+        if (!have) cur_slots.push_back(ws[k]);
+      }
+      cur_lanes[best_g].push_back(i);
+      cur_n++;
+      streak = 0;
+      for (int r = 0; r < arity; r++)
+        counts[((int64_t)best_g << 48) | cons[i * arity + r]]++;
+    }
+    close();
+    remaining.swap(spill);
+  }
+
+  int64_t nb = (int64_t)sp->slot_lists.size();
+  if (nb < 1) nb = 1;
+  sp->nsup = ((nb + 7) / 8) * 8;
+
+  // dmax needs the layer assignment scan (same as fill, dry run)
+  for (size_t b = 0; b < sp->slot_lists.size(); b++) {
+    std::unordered_map<int64_t, int32_t> ll;
+    const auto& sl = sp->slot_lists[b];
+    for (int g = 0; g < 8; g++)
+      for (int64_t i : sp->lanes[b][g])
+        for (int r = 0; r < arity; r++) {
+          int64_t v = sp->cons[i * arity + r];
+          int t = 0;
+          for (; t < (int)sl.size(); t++)
+            if (sl[t] == (int32_t)(v / LANES)) break;
+          int64_t key = (((int64_t)g * 64 + t) << 32) | (v % LANES);
+          int32_t layer = ll[key]++;
+          if (layer + 1 > sp->dmax) sp->dmax = layer + 1;
+        }
+  }
+  return sp;
+}
+
+int64_t st_pack_num_super(void* h) { return ((SuperPack*)h)->nsup; }
+int32_t st_pack_dmax(void* h) { return ((SuperPack*)h)->dmax; }
+
+void st_pack_fill(void* h, int32_t* slots, int32_t* rel, int32_t* inv,
+                  int64_t* perm, float* scale) {
+  const int32_t LANES = 128;
+  auto* sp = (SuperPack*)h;
+  const int arity = sp->arity, S = sp->slots_cap, D = sp->dmax;
+  const int64_t nsup = sp->nsup;
+
+  std::fill(slots, slots + nsup * LANES, 0);
+  std::fill(rel, rel + nsup * arity * 8 * LANES, 0);
+  std::fill(inv, inv + nsup * S * D * 8 * LANES, -1);
+  std::fill(perm, perm + nsup * 8 * LANES, (int64_t)-1);
+  std::fill(scale, scale + nsup * 8 * LANES, 1.0f);
+
+  for (size_t b = 0; b < sp->slot_lists.size(); b++) {
+    const auto& sl = sp->slot_lists[b];
+    for (size_t t = 0; t < sl.size(); t++) slots[b * LANES + t] = sl[t];
+    for (size_t t = sl.size(); t < (size_t)S; t++)
+      slots[b * LANES + t] = sl.empty() ? 0 : sl[0];
+    slots[b * LANES + S] = (int32_t)sl.size();
+
+    std::unordered_map<int64_t, int32_t> ll;
+    std::unordered_map<int64_t, int32_t> totals;
+    for (int g = 0; g < 8; g++) {
+      const auto& ln = sp->lanes[b][g];
+      for (size_t j = 0; j < ln.size(); j++) {
+        int64_t i = ln[j];
+        perm[((int64_t)b * 8 + g) * LANES + j] = i;
+        for (int r = 0; r < arity; r++) {
+          int64_t v = sp->cons[i * arity + r];
+          int t = 0;
+          for (; t < (int)sl.size(); t++)
+            if (sl[t] == (int32_t)(v / LANES)) break;
+          int l_in = (int)(v % LANES);
+          rel[(((int64_t)b * arity + r) * 8 + g) * LANES + j] =
+              t * LANES + l_in;
+          int64_t key = (((int64_t)g * 64 + t) << 32) | l_in;
+          int32_t layer = ll[key]++;
+          inv[((((int64_t)b * S + t) * D + layer) * 8 + g) * LANES + l_in] =
+              r * LANES + (int32_t)j;
+          totals[v]++;
+        }
+      }
+    }
+    for (int g = 0; g < 8; g++) {
+      const auto& ln = sp->lanes[b][g];
+      for (size_t j = 0; j < ln.size(); j++) {
+        int m = 1;
+        for (int r = 0; r < arity; r++) {
+          int c = totals[sp->cons[ln[j] * arity + r]];
+          if (c > m) m = c;
+        }
+        scale[((int64_t)b * 8 + g) * LANES + j] = 1.0f / (float)m;
+      }
+    }
+  }
+}
+
+void st_pack_free(void* h) { delete (SuperPack*)h; }
+
 }  // extern "C"

@@ -87,6 +87,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.st_vox_get_tets.argtypes = [voidp, i32p]
         lib.st_vox_free.argtypes = [voidp]
 
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
+        lib.st_pack_super.restype = voidp
+        lib.st_pack_super.argtypes = [i64p, i64, ctypes.c_int32,
+                                      ctypes.c_int32, ctypes.c_int32]
+        lib.st_pack_num_super.restype = i64
+        lib.st_pack_num_super.argtypes = [voidp]
+        lib.st_pack_dmax.restype = ctypes.c_int32
+        lib.st_pack_dmax.argtypes = [voidp]
+        lib.st_pack_fill.restype = None
+        lib.st_pack_fill.argtypes = [voidp, i32p, i32p, i32p, i64p, f32p]
+        lib.st_pack_free.argtypes = [voidp]
+
         _lib = lib
         return _lib
 
@@ -156,3 +168,29 @@ def native_voxelize(vertices: np.ndarray, triangles: np.ndarray,
         return verts, tets
     finally:
         lib.st_vox_free(h)
+
+
+def native_pack_super(cons: np.ndarray, slots_cap: int, layer_cap: int):
+    """Native greedy super-block packing (kernels/sweep.pack_superblocks):
+    returns (nsup, dmax, slots, rel, inv, perm, scale) or None if the lib is
+    unavailable.  Bit-identical to the Python packer (same stable ordering
+    and greedy scan)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cons = np.ascontiguousarray(cons, np.int64)
+    n, arity = cons.shape
+    h = lib.st_pack_super(cons, n, arity, slots_cap, layer_cap)
+    try:
+        nsup = int(lib.st_pack_num_super(h))
+        dmax = int(lib.st_pack_dmax(h))
+        s = slots_cap
+        slots = np.zeros((nsup, 128), np.int32)
+        rel = np.zeros((nsup * arity * 8, 128), np.int32)
+        inv = np.zeros((nsup * s * dmax * 8, 128), np.int32)
+        perm = np.zeros((nsup * 8 * 128,), np.int64)
+        scale = np.zeros((nsup * 8, 128), np.float32)
+        lib.st_pack_fill(h, slots, rel, inv, perm, scale)
+    finally:
+        lib.st_pack_free(h)
+    return nsup, dmax, slots, rel, inv, perm, scale

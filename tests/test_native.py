@@ -108,3 +108,29 @@ def test_tetrahedralize_default_cell():
     v, t = tetrahedralize(verts, faces, resolution=6)
     assert len(t) > 0
     assert t.max() < len(v)
+
+
+def test_native_super_packer_matches_python():
+    """native/softtopo.cpp::st_pack_super must produce bit-identical plans
+    to the Python packer (same stable order, same greedy scan)."""
+    import numpy as np
+    from softbodysim_tpu.core import meshes
+    from softbodysim_tpu.core.native import available
+    from softbodysim_tpu.kernels import sweep as sw
+
+    if not available():
+        import pytest
+        pytest.skip("native lib unavailable")
+
+    topo = meshes.tet_ball(2)
+    for cons, rest, lcap in ((topo.edges, topo.edge_rest, 2),
+                             (topo.tets, topo.tet_rest_vol, 3)):
+        a = sw.pack_superblocks(cons.astype(np.int64), rest,
+                                -(-topo.num_particles // 128),
+                                layer_cap=lcap, use_native=True)
+        b = sw.pack_superblocks(cons.astype(np.int64), rest,
+                                -(-topo.num_particles // 128),
+                                layer_cap=lcap, use_native=False)
+        for f in ("slots", "rel", "inv", "rest", "perm", "pos_of", "scale"):
+            assert np.array_equal(getattr(a, f), getattr(b, f)), f
+        assert (a.num_super, a.dmax) == (b.num_super, b.dmax)
