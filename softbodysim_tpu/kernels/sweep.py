@@ -655,7 +655,6 @@ def _edge_kernel_super(alpha_ref, slots_ref, rel_ref, inv_ref, rest_ref,
     alpha = alpha_ref[0, 0]
     for sb in range(SUBBLOCKS):
         wins = [slots_ref[sb, t] for t in range(S)]
-        ns = slots_ref[sb, S]
         r0 = rel_ref[(sb * 2) * 8:(sb * 2) * 8 + 8, :]
         r1 = rel_ref[(sb * 2 + 1) * 8:(sb * 2 + 1) * 8 + 8, :]
         a0x, a0y, a0z, a0w = _gather_super(xout_ref, wins, r0, S)
@@ -681,27 +680,28 @@ def _edge_kernel_super(alpha_ref, slots_ref, rel_ref, inv_ref, rest_ref,
         cx0, cy0, cz0 = cx * a0w, cy * a0w, cz * a0w
         cx1, cy1, cz1 = -cx * a1w, -cy * a1w, -cz * a1w
 
+        # No pl.when on the slot loop: a conditional branch costs ~50 ns on
+        # this chip (measured, PLAN.md round-2 grid) -- more than the masked
+        # tile work it would skip.  Unused slots RMW +0 into a real window.
         for t in range(S):
-            @pl.when(t < ns)
-            def _(t=t):
-                accx = accy = accz = jnp.zeros((8, LANES), jnp.float32)
-                for l in range(DMAX):
-                    row = ((sb * S + t) * DMAX + l) * 8
-                    inv = inv_ref[row:row + 8, :]
-                    has = inv >= 0
-                    j = jnp.clip(inv, 0, 2 * LANES - 1)
-                    role1 = j >= LANES
-                    jl = j & (LANES - 1)
-                    gx = jnp.where(role1, jnp.take_along_axis(cx1, jl, axis=1),
-                                   jnp.take_along_axis(cx0, jl, axis=1))
-                    gy = jnp.where(role1, jnp.take_along_axis(cy1, jl, axis=1),
-                                   jnp.take_along_axis(cy0, jl, axis=1))
-                    gz = jnp.where(role1, jnp.take_along_axis(cz1, jl, axis=1),
-                                   jnp.take_along_axis(cz0, jl, axis=1))
-                    accx = accx + jnp.where(has, gx, 0.0)
-                    accy = accy + jnp.where(has, gy, 0.0)
-                    accz = accz + jnp.where(has, gz, 0.0)
-                _scatter_super(xout_ref, wins[t], accx, accy, accz)
+            accx = accy = accz = jnp.zeros((8, LANES), jnp.float32)
+            for l in range(DMAX):
+                row = ((sb * S + t) * DMAX + l) * 8
+                inv = inv_ref[row:row + 8, :]
+                has = inv >= 0
+                j = jnp.clip(inv, 0, 2 * LANES - 1)
+                role1 = j >= LANES
+                jl = j & (LANES - 1)
+                gx = jnp.where(role1, jnp.take_along_axis(cx1, jl, axis=1),
+                               jnp.take_along_axis(cx0, jl, axis=1))
+                gy = jnp.where(role1, jnp.take_along_axis(cy1, jl, axis=1),
+                               jnp.take_along_axis(cy0, jl, axis=1))
+                gz = jnp.where(role1, jnp.take_along_axis(cz1, jl, axis=1),
+                               jnp.take_along_axis(cz0, jl, axis=1))
+                accx = accx + jnp.where(has, gx, 0.0)
+                accy = accy + jnp.where(has, gy, 0.0)
+                accz = accz + jnp.where(has, gz, 0.0)
+            _scatter_super(xout_ref, wins[t], accx, accy, accz)
 
 
 def _cross_c(ax, ay, az, bx, by, bz):
@@ -721,7 +721,6 @@ def _tet_kernel_super(alpha_ref, slots_ref, rel_ref, inv_ref, rest_ref,
     sixth = jnp.float32(1.0 / 6.0)
     for sb in range(SUBBLOCKS):
         wins = [slots_ref[sb, t] for t in range(S)]
-        ns = slots_ref[sb, S]
         acc = []
         for r in range(4):
             rel = rel_ref[(sb * 4 + r) * 8:(sb * 4 + r) * 8 + 8, :]
@@ -769,29 +768,28 @@ def _tet_kernel_super(alpha_ref, slots_ref, rel_ref, inv_ref, rest_ref,
             (gaz * sa, gbz * sb_, gcz * sc, gdz * sd),
         )
 
+        # branchless slot loop -- see the edge kernel's note
         for t in range(S):
-            @pl.when(t < ns)
-            def _(t=t):
-                accs = [jnp.zeros((8, LANES), jnp.float32) for _ in range(3)]
-                for l in range(DMAX):
-                    row = ((sb * S + t) * DMAX + l) * 8
-                    inv = inv_ref[row:row + 8, :]
-                    has = inv >= 0
-                    j = jnp.clip(inv, 0, 4 * LANES - 1)
-                    hi = j >= 2 * LANES
-                    odd = (j & LANES) > 0
-                    jl = j & (LANES - 1)
-                    for ci in range(3):
-                        ca, cb, cc, cd = comps[ci]
-                        g_ab = jnp.where(odd,
-                                         jnp.take_along_axis(cb, jl, axis=1),
-                                         jnp.take_along_axis(ca, jl, axis=1))
-                        g_cd = jnp.where(odd,
-                                         jnp.take_along_axis(cd, jl, axis=1),
-                                         jnp.take_along_axis(cc, jl, axis=1))
-                        pick = jnp.where(hi, g_cd, g_ab)
-                        accs[ci] = accs[ci] + jnp.where(has, pick, 0.0)
-                _scatter_super(xout_ref, wins[t], accs[0], accs[1], accs[2])
+            accs = [jnp.zeros((8, LANES), jnp.float32) for _ in range(3)]
+            for l in range(DMAX):
+                row = ((sb * S + t) * DMAX + l) * 8
+                inv = inv_ref[row:row + 8, :]
+                has = inv >= 0
+                j = jnp.clip(inv, 0, 4 * LANES - 1)
+                hi = j >= 2 * LANES
+                odd = (j & LANES) > 0
+                jl = j & (LANES - 1)
+                for ci in range(3):
+                    ca, cb, cc, cd = comps[ci]
+                    g_ab = jnp.where(odd,
+                                     jnp.take_along_axis(cb, jl, axis=1),
+                                     jnp.take_along_axis(ca, jl, axis=1))
+                    g_cd = jnp.where(odd,
+                                     jnp.take_along_axis(cd, jl, axis=1),
+                                     jnp.take_along_axis(cc, jl, axis=1))
+                    pick = jnp.where(hi, g_cd, g_ab)
+                    accs[ci] = accs[ci] + jnp.where(has, pick, 0.0)
+            _scatter_super(xout_ref, wins[t], accs[0], accs[1], accs[2])
 
 
 # --------------------------------------------------------------------------
