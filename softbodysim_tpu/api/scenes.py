@@ -55,13 +55,44 @@ class Scene:
 
     def build_grouped(self):
         """TPU-native execution: one vmapped program per mesh family
-        (parallel/groups.py) -- the fast path for these scenes."""
+        (parallel/groups.py) -- the fast path for many small bodies."""
         from ..parallel.groups import GroupedSceneEngine
 
         if not self.groups:
             raise ValueError(f"scene {self.name} defines no groups")
         cols = Colliders.build(self.colliders) if self.colliders else None
         return GroupedSceneEngine(self.groups, colliders=cols)
+
+    def build_merged(self, backend: str = "pallas"):
+        """TPU-native execution for HEAVY scenes: every body becomes a
+        vertex range of ONE merged sim mesh (core/topology.py::
+        merge_topologies) stepped by the single-scene Pallas jacobi passes
+        (kernels/jacobi.py).  Constraints never cross body boundaries, so
+        this is exactly the per-body physics; at BatchTest scale (~88k
+        particles) it beats grouped vmap ~10x because the whole scene is
+        one VMEM-resident particle table.
+
+        Requires uniform SolverParams across bodies (true for all four
+        reference scenes).  Returns (engine, vertex_offsets).
+        """
+        from ..core.topology import merge_topologies
+        from .engine import Engine
+
+        if not self.bodies:
+            raise ValueError(f"scene {self.name} has no bodies")
+        params0 = self.bodies[0][2]
+        if any(p is not params0 and p != params0
+               for _, _, p, _ in self.bodies):
+            raise ValueError("build_merged requires uniform SolverParams")
+        densities = {kw.get("density", 1.0) for _, _, _, kw in self.bodies}
+        if len(densities) != 1:
+            raise ValueError("build_merged requires uniform density")
+        merged, voffs = merge_topologies([t for _, t, _, _ in self.bodies])
+        cols = Colliders.build(self.colliders) if self.colliders else None
+        params = params0.replace(jacobi_backend=backend)
+        eng = Engine(merged, params, colliders=cols,
+                     density=densities.pop())
+        return eng, voffs
 
 
 def _asset(name: str) -> Optional[Topology]:
@@ -73,39 +104,40 @@ def _asset(name: str) -> Optional[Topology]:
     return None
 
 
-def _bunny(center) -> Topology:
+def _bunny(center, scale: float = 1.0) -> Topology:
     t = _asset("Bunny-LowPoly_Tet 1.asset")
     if t is None:
         t = meshes.tet_ball(2, 0.3, (0, 0, 0))
     return _recenter(t, center)
 
 
-def _ball_small(center) -> Topology:
+def _ball_small(center, scale: float = 1.0) -> Topology:
     t = _asset("Icosphere_Tet.asset")
     if t is None:
         t = meshes.tet_ball(2, 0.25, (0, 0, 0))
-    return _recenter(t, center)
+    return _recenter(t, center, scale)
 
 
-def _ball_large(center) -> Topology:
+def _ball_large(center, scale: float = 1.0) -> Topology:
     t = _asset("Icosphere.001_Tet.asset")
     if t is None:
         t = meshes.tet_ball(3, 0.4, (0, 0, 0))
     return _recenter(t, center)
 
 
-def _default_mesh(center) -> Topology:
+def _default_mesh(center, scale: float = 1.0) -> Topology:
     t = _asset("default_Tet 10.asset")
     if t is None:
         t = meshes.tet_cube(12, 12, 12, 0.8, (0, 0, 0))
-    return _recenter(t, center)
+    return _recenter(t, center, scale)
 
 
-def _recenter(t: Topology, center) -> Topology:
+def _recenter(t: Topology, center, scale: float = 1.0) -> Topology:
     from ..core.topology import build_topology
 
     c = t.vertices.mean(axis=0)
-    verts = t.vertices - c + np.asarray(center, np.float32)
+    verts = (t.vertices - c) * np.float32(scale) + np.asarray(
+        center, np.float32)
     return build_topology(verts, t.tets.astype(np.int64), edges=t.edges,
                           surface_tris=t.surface_tris, orient=False)
 
@@ -179,19 +211,37 @@ def extreme_test() -> Scene:
 
 
 def batch_test() -> Scene:
-    p = _params()
-    positions = _grid_positions(20, spacing=1.4, height=2.0)
+    """20 bodies: 10 icospheres + 10 "default" heavies (V=8613 each).
+
+    Per-solver tunings and instance scales from BatchTest.unity: every
+    solver uses edgeStiffness .493, volumeStiffness .98, sorOmega 1.4,
+    particleRadius .01, density 1 (BatchTest.unity:992-999); balls are
+    scaled x2, the default meshes x0.61614 (5) and x1.23228 (5).  The raw
+    default asset spans ~22-30 units, so scaled bodies span ~14-37 units
+    and drop from y 10-18 like the reference layout -- dropping unscaled
+    bodies from y=2 starts them interpenetrating the ground and explodes
+    on every backend/the oracle alike.
+    """
+    p = _params(edge=0.493, vol=0.98, radius=0.01)
+    ball_pos = _grid_positions(10, spacing=5.0, height=6.0)
+    small_pos = [(-30.0 + 16.0 * i, 12.0, -25.0) for i in range(5)]
+    large_pos = [(-40.0 + 22.0 * i, 26.0, 25.0) for i in range(5)]
     bodies = []
-    for i, pos in enumerate(positions):
-        if i < 10:
-            bodies.append((f"ball{i}", _ball_small(pos), p, {}))
-        else:
-            bodies.append((f"big{i}", _default_mesh(pos), p, {}))
+    for i, pos in enumerate(ball_pos):
+        bodies.append((f"ball{i}", _ball_small(pos, scale=2.0), p, {}))
+    for i, pos in enumerate(small_pos):
+        bodies.append((f"big{i}", _default_mesh(pos, scale=0.61614), p, {}))
+    for i, pos in enumerate(large_pos):
+        bodies.append(
+            (f"big{i + 5}", _default_mesh(pos, scale=1.23228), p, {}))
     return Scene(
         name="BatchTest", bodies=bodies, colliders=[],
         groups=_make_groups([
-            ("ball", _ball_small((0, 0, 0)), positions[:10], p, 1.0),
-            ("big", _default_mesh((0, 0, 0)), positions[10:], p, 1.0),
+            ("ball", _ball_small((0, 0, 0), scale=2.0), ball_pos, p, 1.0),
+            ("big_s", _default_mesh((0, 0, 0), scale=0.61614), small_pos,
+             p, 1.0),
+            ("big_l", _default_mesh((0, 0, 0), scale=1.23228), large_pos,
+             p, 1.0),
         ]))
 
 

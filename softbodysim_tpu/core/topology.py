@@ -284,3 +284,72 @@ def build_topology(
         edge_colors=color_groups(edges, nv, colors=edge_colors_pre),
         tet_colors=color_groups(tets, nv, colors=tet_colors_pre),
     )
+
+
+def _merge_color_groups(parts_cg, parts_offsets) -> ColorGroups:
+    """Union same-index colors across vertex-disjoint parts.
+
+    Parts never share vertices, so constraints of color c from different
+    parts cannot conflict -- the merged family is validly colored with
+    max_parts(num_colors) colors, and each part's internal sweep order is
+    preserved (part order within a color follows the part list)."""
+    num_colors = max(cg.num_colors for cg, _ in zip(parts_cg, parts_offsets))
+    per_color = []
+    for c in range(num_colors):
+        rows = []
+        for cg, off in zip(parts_cg, parts_offsets):
+            if c < cg.num_colors:
+                rows.append(cg.idx[c][cg.mask[c]].astype(np.int64) + off)
+        per_color.append(np.concatenate(rows) if rows
+                         else np.zeros((0,), np.int64))
+    k = max(1, max(len(g) for g in per_color))
+    idx = np.zeros((num_colors, k), np.int32)
+    mask = np.zeros((num_colors, k), bool)
+    for ci, g in enumerate(per_color):
+        idx[ci, : len(g)] = g
+        mask[ci, : len(g)] = True
+    order = np.concatenate([g for g in per_color if len(g)]) if any(
+        len(g) for g in per_color) else np.zeros((0,), np.int64)
+    return ColorGroups(idx=idx, mask=mask, order=order)
+
+
+def merge_topologies(parts) -> Tuple[Topology, np.ndarray]:
+    """Disjoint union of topologies (multi-body scene as ONE sim mesh).
+
+    The TPU-native way to run a many-body scene through the single-scene
+    Pallas backends: bodies become vertex ranges of one particle table (the
+    reference instead iterates bodies on the manager, SoftBodyManager.cs:
+    217-233 -- independence is preserved because no constraint crosses a
+    body boundary).  Returns (merged, vertex_offsets) where
+    vertex_offsets[i] is body i's first vertex id (length len(parts)+1).
+    """
+    parts = list(parts)
+    if not parts:
+        raise ValueError("merge_topologies needs at least one part")
+    voffs = np.zeros(len(parts) + 1, np.int64)
+    eoffs = np.zeros(len(parts) + 1, np.int64)
+    toffs = np.zeros(len(parts) + 1, np.int64)
+    for i, p in enumerate(parts):
+        voffs[i + 1] = voffs[i] + p.num_particles
+        eoffs[i + 1] = eoffs[i] + p.num_edges
+        toffs[i + 1] = toffs[i] + p.num_tets
+
+    def cat(field, off):
+        return np.concatenate(
+            [np.asarray(getattr(p, field), np.int64) + voffs[i]
+             if off else np.asarray(getattr(p, field))
+             for i, p in enumerate(parts)], axis=0)
+
+    merged = Topology(
+        vertices=cat("vertices", False).astype(np.float32),
+        edges=cat("edges", True).astype(np.int32),
+        tets=cat("tets", True).astype(np.int32),
+        surface_tris=cat("surface_tris", True).astype(np.int32),
+        edge_rest=cat("edge_rest", False).astype(np.float32),
+        tet_rest_vol=cat("tet_rest_vol", False).astype(np.float32),
+        edge_colors=_merge_color_groups(
+            [p.edge_colors for p in parts], eoffs[:-1]),
+        tet_colors=_merge_color_groups(
+            [p.tet_colors for p in parts], toffs[:-1]),
+    )
+    return merged, voffs

@@ -1,0 +1,276 @@
+"""Pallas TPU Jacobi-dialect constraint passes -- the in-engine GPU kernels.
+
+TPU-native form of the reference's Unity compute-shader pipeline
+(K_EdgeGather -> K_ApplyDelta -> K_VolumeGather -> K_ApplyDelta,
+Assets/Shaders/SoftBodyCompute.compute:230-392, dispatched per iteration by
+SoftBodySolver.cs:778-788): one kernel per constraint family computes every
+constraint's stiffness-weighted contribution from the FROZEN iteration-start
+positions, accumulates per-particle (delta, count) -- and applies
+x += (omega / cnt) * delta in an epilogue on the last grid step, so a whole
+gather+apply stage is ONE kernel with zero intermediate HBM traffic.
+
+Unlike the XPBD sweeps (kernels/sweep.py), ordering inside a pass is
+irrelevant -- pure Jacobi reads one snapshot -- so this backend is *exactly*
+the reference Jacobi semantics (tests/oracle.py::JacobiOracle) up to fp32
+summation order; no block-synchronous approximation is involved.
+
+Reuses the SuperPlan packing (1024-constraint super-blocks, shared window
+pool, layered inverse scatter maps) and the branchless masked scatter loop
+(a pl.when branch costs ~50 ns on v5e -- PLAN.md).  The per-lane dlambda
+scale of the XPBD kernels is NOT used: the global omega/cnt apply is the
+reference's own averaging.
+
+Layout contract (shared with solver/xpbd_pallas.py): the particle table is
+(8, Vpad) f32, sublanes 0-2 = xyz, sublane 3 = inverse mass.  The pass
+returns the applied table; sublanes 3-7 are passed through.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .sweep import LANES, SUBBLOCKS, SuperPlan, _gather_super
+
+__all__ = ["make_jacobi_pass"]
+
+
+def _scatter_acc4(acc_ref, w, ax, ay, az, ac):
+    """Sum (8,128) per-sublane contributions, RMW (delta_xyz, cnt) rows of
+    one 128-vertex window of the accumulator table."""
+    addx = jnp.sum(ax, axis=0, keepdims=True)
+    addy = jnp.sum(ay, axis=0, keepdims=True)
+    addz = jnp.sum(az, axis=0, keepdims=True)
+    addc = jnp.sum(ac, axis=0, keepdims=True)
+    aw = acc_ref[:, pl.ds(w * LANES, LANES)]
+    new = jnp.concatenate(
+        [aw[0:1] + addx, aw[1:2] + addy, aw[2:3] + addz, aw[3:4] + addc,
+         aw[4:8]], axis=0)
+    acc_ref[:, pl.ds(w * LANES, LANES)] = new
+
+
+def _apply_epilogue(xin_ref, xout_ref, omega):
+    """x += (omega / cnt) * delta for free particles with cnt > 0
+    (K_ApplyDelta, SoftBodyCompute.compute:372-392; SoftBodySolver.cs:
+    521-527).  xout currently holds the (delta, cnt) accumulator."""
+    xi = xin_ref[:]
+    wrow = xi[3:4]
+    cnt = xout_ref[3:4]
+    ok = (cnt > 0.0) & (wrow != 0.0)
+    scale = omega / jnp.maximum(cnt, 1.0)
+    newx = jnp.where(ok, xi[0:3] + scale * xout_ref[0:3], xi[0:3])
+    xout_ref[:] = jnp.concatenate([newx, xi[3:8]], axis=0)
+
+
+def _edge_pass_kernel(scal_ref, slots_ref, rel_ref, inv_ref, rest_ref,
+                      xin_ref, xout_ref, *, S, DMAX, NSTEP, GB):
+    s = pl.program_id(0)
+
+    @pl.when(s == 0)
+    def _():
+        xout_ref[:] = jnp.zeros_like(xout_ref)
+
+    k = scal_ref[0, 0]
+    for sb in range(GB):
+        wins = [slots_ref[sb, t] for t in range(S)]
+        r0 = rel_ref[(sb * 2) * 8:(sb * 2) * 8 + 8, :]
+        r1 = rel_ref[(sb * 2 + 1) * 8:(sb * 2 + 1) * 8 + 8, :]
+        a0x, a0y, a0z, a0w = _gather_super(xin_ref, wins, r0, S)
+        a1x, a1y, a1z, a1w = _gather_super(xin_ref, wins, r1, S)
+
+        # GatherEdgesForParticle (SoftBodySolver.cs:395-433):
+        # lambda = -k * (len - rest) / (wa + wb); contribution to a is
+        # n * lambda * wa, to b is -n * lambda * wb; both endpoints' counts
+        # bump when the edge is valid.
+        dx = a0x - a1x
+        dy = a0y - a1y
+        dz = a0z - a1z
+        len2 = dx * dx + dy * dy + dz * dz
+        w = a0w + a1w
+        valid = (w != 0.0) & (len2 >= 1e-18)
+        ln = jnp.sqrt(jnp.maximum(len2, 1e-30))
+        c = ln - rest_ref[sb * 8:sb * 8 + 8, :]
+        lam = jnp.where(valid, -k * c / jnp.where(w == 0.0, 1.0, w), 0.0)
+        s0 = lam * a0w / ln
+        s1 = -lam * a1w / ln
+        c0x, c0y, c0z = dx * s0, dy * s0, dz * s0
+        c1x, c1y, c1z = dx * s1, dy * s1, dz * s1
+        cn = jnp.where(valid, 1.0, 0.0)
+
+        for t in range(S):
+            ax = ay = az = ac = jnp.zeros((8, LANES), jnp.float32)
+            for l in range(DMAX):
+                row = ((sb * S + t) * DMAX + l) * 8
+                inv = inv_ref[row:row + 8, :]
+                has = inv >= 0
+                j = jnp.clip(inv, 0, 2 * LANES - 1)
+                role1 = j >= LANES
+                jl = j & (LANES - 1)
+                gx = jnp.where(role1, jnp.take_along_axis(c1x, jl, axis=1),
+                               jnp.take_along_axis(c0x, jl, axis=1))
+                gy = jnp.where(role1, jnp.take_along_axis(c1y, jl, axis=1),
+                               jnp.take_along_axis(c0y, jl, axis=1))
+                gz = jnp.where(role1, jnp.take_along_axis(c1z, jl, axis=1),
+                               jnp.take_along_axis(c0z, jl, axis=1))
+                gc = jnp.take_along_axis(cn, jl, axis=1)  # same either role
+                ax = ax + jnp.where(has, gx, 0.0)
+                ay = ay + jnp.where(has, gy, 0.0)
+                az = az + jnp.where(has, gz, 0.0)
+                ac = ac + jnp.where(has, gc, 0.0)
+            _scatter_acc4(xout_ref, wins[t], ax, ay, az, ac)
+
+    @pl.when(s == NSTEP - 1)
+    def _():
+        _apply_epilogue(xin_ref, xout_ref, scal_ref[0, 1])
+
+
+def _tet_pass_kernel(scal_ref, slots_ref, rel_ref, inv_ref, rest_ref,
+                     xin_ref, xout_ref, *, S, DMAX, NSTEP, GB):
+    s = pl.program_id(0)
+
+    @pl.when(s == 0)
+    def _():
+        xout_ref[:] = jnp.zeros_like(xout_ref)
+
+    k = scal_ref[0, 0]
+    sixth = jnp.float32(1.0 / 6.0)
+    for sb in range(GB):
+        wins = [slots_ref[sb, t] for t in range(S)]
+        acc = []
+        for r in range(4):
+            rel = rel_ref[(sb * 4 + r) * 8:(sb * 4 + r) * 8 + 8, :]
+            acc.append(_gather_super(xin_ref, wins, rel, S))
+        (pax, pay, paz, wa), (pbx, pby, pbz, wb), \
+            (pcx, pcy, pcz, wc), (pdx, pdy, pdz, wd) = acc
+
+        # GatherVolumesForParticle (SoftBodySolver.cs:451-519): role
+        # gradients, lambda = -k * (vol - rest) / wsum, contribution per
+        # role g_r * lambda * w_r; count bumps only for corners with
+        # w_r != 0 on valid tets.
+        def cross(ax_, ay_, az_, bx_, by_, bz_):
+            return (ay_ * bz_ - az_ * by_, az_ * bx_ - ax_ * bz_,
+                    ax_ * by_ - ay_ * bx_)
+
+        gax, gay, gaz = cross(pdx - pbx, pdy - pby, pdz - pbz,
+                              pcx - pbx, pcy - pby, pcz - pbz)
+        gbx, gby, gbz = cross(pcx - pax, pcy - pay, pcz - paz,
+                              pdx - pax, pdy - pay, pdz - paz)
+        gcx, gcy, gcz = cross(pdx - pax, pdy - pay, pdz - paz,
+                              pbx - pax, pby - pay, pbz - paz)
+        gdx, gdy, gdz = cross(pbx - pax, pby - pay, pbz - paz,
+                              pcx - pax, pcy - pay, pcz - paz)
+        gax, gay, gaz = gax * sixth, gay * sixth, gaz * sixth
+        gbx, gby, gbz = gbx * sixth, gby * sixth, gbz * sixth
+        gcx, gcy, gcz = gcx * sixth, gcy * sixth, gcz * sixth
+        gdx, gdy, gdz = gdx * sixth, gdy * sixth, gdz * sixth
+
+        wsum = (wa * (gax * gax + gay * gay + gaz * gaz)
+                + wb * (gbx * gbx + gby * gby + gbz * gbz)
+                + wc * (gcx * gcx + gcy * gcy + gcz * gcz)
+                + wd * (gdx * gdx + gdy * gdy + gdz * gdz))
+        valid = ((wa + wb + wc + wd) != 0.0) & (wsum >= 1e-20)
+
+        vol = (gdx * (pdx - pax) + gdy * (pdy - pay) + gdz * (pdz - paz))
+        cfn = vol - rest_ref[sb * 8:sb * 8 + 8, :]
+        lam = jnp.where(
+            valid, -k * cfn / jnp.where(wsum == 0.0, 1.0, wsum), 0.0)
+
+        sa, sb_, sc, sd = lam * wa, lam * wb, lam * wc, lam * wd
+        one = jnp.float32(1.0)
+        comps = (
+            (gax * sa, gbx * sb_, gcx * sc, gdx * sd),
+            (gay * sa, gby * sb_, gcy * sc, gdy * sd),
+            (gaz * sa, gbz * sb_, gcz * sc, gdz * sd),
+            (jnp.where(valid & (wa != 0.0), one, 0.0),
+             jnp.where(valid & (wb != 0.0), one, 0.0),
+             jnp.where(valid & (wc != 0.0), one, 0.0),
+             jnp.where(valid & (wd != 0.0), one, 0.0)),
+        )
+
+        for t in range(S):
+            accs = [jnp.zeros((8, LANES), jnp.float32) for _ in range(4)]
+            for l in range(DMAX):
+                row = ((sb * S + t) * DMAX + l) * 8
+                inv = inv_ref[row:row + 8, :]
+                has = inv >= 0
+                j = jnp.clip(inv, 0, 4 * LANES - 1)
+                hi = j >= 2 * LANES
+                odd = (j & LANES) > 0
+                jl = j & (LANES - 1)
+                for ci in range(4):
+                    ca, cb, cc, cd = comps[ci]
+                    g_ab = jnp.where(odd,
+                                     jnp.take_along_axis(cb, jl, axis=1),
+                                     jnp.take_along_axis(ca, jl, axis=1))
+                    g_cd = jnp.where(odd,
+                                     jnp.take_along_axis(cd, jl, axis=1),
+                                     jnp.take_along_axis(cc, jl, axis=1))
+                    pick = jnp.where(hi, g_cd, g_ab)
+                    accs[ci] = accs[ci] + jnp.where(has, pick, 0.0)
+            _scatter_acc4(xout_ref, wins[t], accs[0], accs[1], accs[2],
+                          accs[3])
+
+    @pl.when(s == NSTEP - 1)
+    def _():
+        _apply_epilogue(xin_ref, xout_ref, scal_ref[0, 1])
+
+
+def make_jacobi_pass(plan: SuperPlan, num_windows: int, *,
+                     interpret: bool = False):
+    """Build ``pass(x8, k, omega, tables) -> x8``: one full Jacobi
+    gather+apply stage for one constraint family on the (8, Vpad) particle
+    table.
+
+    k is the family stiffness, omega the SOR factor (both traced f32
+    scalars).  The pass reads the frozen x8 snapshot, so calling edge and
+    tet passes in sequence reproduces the reference's per-iteration
+    dispatch order exactly.
+
+    ``tables`` is the pass's own ``.tables`` attribute (slots/rel/inv/rest
+    device arrays), threaded through the caller's jit as ARGUMENTS: at
+    100k-constraint scale the packed plans are >100 MB, and closure-
+    captured tables would be lowered as HLO literals -- ~40 s of trace+
+    lower and a 47 MB compile-cache entry per program (measured on the
+    BatchTest step).  As parameters they cost nothing at trace time.
+    """
+    if not isinstance(plan, SuperPlan):
+        raise TypeError("jacobi passes require SuperPlan packing")
+    S, DMAX = plan.nslots, plan.dmax
+    vpad = num_windows * LANES
+    gb = min(SUBBLOCKS, plan.num_super)   # small plans trim below SUBBLOCKS
+    nstep = plan.num_super // gb
+    kernel = _edge_pass_kernel if plan.arity == 2 else _tet_pass_kernel
+
+    call = pl.pallas_call(
+        functools.partial(kernel, S=S, DMAX=DMAX, NSTEP=nstep, GB=gb),
+        grid=(nstep,),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda s: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((gb, LANES), lambda s: (s, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((gb * plan.arity * 8, LANES), lambda s: (s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb * S * DMAX * 8, LANES), lambda s: (s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb * 8, LANES), lambda s: (s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, vpad), jnp.float32),
+        interpret=interpret,
+    )
+
+    def jacobi_pass(x8, k, omega, tables):
+        scal = jnp.stack([jnp.asarray(k, jnp.float32),
+                          jnp.asarray(omega, jnp.float32)]).reshape(1, 2)
+        slots, rel, inv, rest = tables
+        return call(scal, slots, rel, inv, rest, x8)
+
+    jacobi_pass.tables = (jnp.asarray(plan.slots), jnp.asarray(plan.rel),
+                          jnp.asarray(plan.inv), jnp.asarray(plan.rest))
+    return jacobi_pass

@@ -216,13 +216,31 @@ def make_jacobi_step(topology, params: SolverParams,
     # Backend: 'segment' lowers segment_sum to a one-hot matmul (MXU) for
     # small V; past that regime XLA's scatter path serializes, so large
     # scenes use the padded-gather walk (the reference's own GPU-kernel
-    # formulation).  Threshold measured on TPU v5e.
+    # formulation).  Above ~100k constraints the Pallas pass kernels
+    # (kernels/jacobi.py) win ~10x on the plain world-space path.
+    # Thresholds measured on TPU v5e.
     backend = params.jacobi_backend
+    pallas_ok = (local_to_world is None and not params.chebyshev
+                 and not params.self_collision
+                 and not params.surface_collision)
     if backend == "auto":
         # measured on v5e (fused 20-step programs): gather beats segment at
         # every scale tried -- 1.27x at V=1331, 1.26x at V=4096, 1.12x at
-        # V=15625, 1.69x on a 32-scene vmapped batch
-        backend = "gather"
+        # V=15625, 1.69x on a 32-scene vmapped batch.  Pallas only on real
+        # TPU: interpret mode at 100k+ constraints is unusably slow.
+        import jax as _jax
+
+        big = (topology.num_edges + topology.num_tets) >= 100_000
+        on_tpu = _jax.default_backend() == "tpu"
+        backend = "pallas" if (big and pallas_ok and on_tpu) else "gather"
+    if backend == "pallas":
+        if not pallas_ok:
+            raise ValueError(
+                "jacobi_backend='pallas' does not support local-space "
+                "transforms, chebyshev, self_collision or surface_collision "
+                "-- use 'gather' (or 'auto', which falls back)")
+        from .jacobi_pallas import make_jacobi_pallas_step
+        return make_jacobi_pallas_step(topology, params, colliders)
     if backend == "gather":
         from ..core.adjacency import (
             bucketize_padded, padded_edge_adjacency, padded_tet_adjacency)

@@ -1,0 +1,201 @@
+"""Jacobi-dialect solver on the Pallas pass kernels -- big single scenes.
+
+Same physics contract as solver/jacobi.py (the Unity in-engine semantics:
+SoftBodySolver.cs:349-527 + the manager substep orchestration,
+SoftBodyManager.cs:199-237), with each gather+apply stage running as ONE
+Pallas kernel (kernels/jacobi.py) over a VMEM-resident particle table.
+Unlike the XPBD Pallas backend there is NO ordering approximation: pure
+Jacobi reads one snapshot per pass, so this matches the segment/gather
+backends (and tests/oracle.py::JacobiOracle) up to fp32 summation order.
+
+Supported feature set (the scene hot path): ground plane, primitive
+colliders (static or per-step poses), stiffness/omega overrides.  Bodies
+with local-space transforms, Chebyshev acceleration, self- or surface-
+collision fall back to the XLA backends (solver/jacobi.py routes them).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.state import SimState, SolverParams
+from ..collide.primitives import (
+    Colliders, collide_particles, project_ground_plane)
+from ..kernels import sweep as sw
+from ..kernels.jacobi import make_jacobi_pass
+from .xpbd_pallas import _cached_plans
+
+LANES = 128
+
+
+def make_jacobi_pallas_step(topology, params: SolverParams,
+                            colliders: Optional[Colliders] = None,
+                            *, interpret: Optional[bool] = None,
+                            vertex_order: str = "auto",
+                            slots_cap: Optional[int] = None,
+                            layer_cap: Optional[int] = None):
+    """Build ``step(state, dt, ...) -> state`` on the Pallas Jacobi passes.
+
+    Carries ``step.step_n(state, dt, n)`` like the other backends (layout
+    boundary paid once per call).
+
+    The returned step is PRE-JITTED (``step.prejit = True``; Engine skips
+    its own jax.jit wrap): the >100 MB packed plan tables enter the jit as
+    arguments, not closure constants, so trace+lower stays seconds instead
+    of ~40 s of HLO-literal embedding per process.  Consumers must not
+    re-wrap it in jax.jit -- an outer trace would capture the tables as
+    constants again.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if interpret and jax.config.jax_compilation_cache_dir:
+        # see solver/xpbd_pallas.py: jax 0.9 persistent-cache deserialization
+        # segfaults on interpret-mode pallas_calls
+        jax.config.update("jax_compilation_cache_dir", None)
+
+    V = topology.num_particles
+    has_edges = topology.num_edges > 0
+    has_tets = topology.num_tets > 0
+    vpad = -(-V // LANES) * LANES
+    nwin = vpad // LANES
+
+    perm, e_plan, t_plan = _cached_plans(
+        topology, vertex_order, slots_cap, layer_cap, nwin, True)
+    old2new = np.empty_like(perm)
+    old2new[perm] = np.arange(V)
+
+    edge_pass = tet_pass = None
+    if has_edges:
+        edge_pass = make_jacobi_pass(e_plan, nwin, interpret=interpret)
+    if has_tets:
+        tet_pass = make_jacobi_pass(t_plan, nwin, interpret=interpret)
+    tables = (edge_pass.tables if has_edges else (),
+              tet_pass.tables if has_tets else (),
+              jnp.asarray(perm), jnp.asarray(old2new))
+    gravity = jnp.asarray(params.gravity, jnp.float32)
+    radius = max(1e-6, params.particle_radius)
+    ground_point = jnp.asarray(params.ground_point, jnp.float32)
+    gn = np.asarray(params.ground_normal, np.float32)
+    n2 = float(np.dot(gn, gn))
+    ground_normal = jnp.asarray(
+        gn / np.float32(np.sqrt(n2)) if n2 >= 1e-12
+        else np.array([0.0, 1.0, 0.0], np.float32))
+    k_colliders = 0 if colliders is None else colliders.count
+    do_collide = params.ground_enabled or k_colliders > 0
+    pad = vpad - V
+
+    # ---- public <-> internal layout --------------------------------------
+
+    def to_rows(state: SimState, perm_j):
+        def rows3(a):
+            return jnp.pad(a[perm_j], ((0, pad), (0, 0))).T
+        w = jnp.pad(state.inv_mass[perm_j], (0, pad))
+        x8 = jnp.concatenate(
+            [rows3(state.x), w[None, :], jnp.zeros((4, vpad), jnp.float32)],
+            axis=0)
+        return (x8, rows3(state.v))
+
+    def to_public(carry, state: SimState, old2new_j) -> SimState:
+        x8, vv = carry
+
+        def unrows(rows):
+            return rows.T[old2new_j]
+
+        x = unrows(x8[0:3])
+        return SimState(
+            x=x, v=unrows(vv), x_star=x, inv_mass=state.inv_mass,
+            edge_lambda=state.edge_lambda, tet_lambda=state.tet_lambda,
+        )
+
+    # ---- substep pieces ---------------------------------------------------
+
+    def collide(x8, cols_rt):
+        free = x8[3] != 0.0
+        p = x8[0:3].T
+        if params.ground_enabled:
+            p = project_ground_plane(p, radius, ground_point, ground_normal)
+        if k_colliders > 0:
+            p = collide_particles(
+                p, radius, cols_rt if cols_rt is not None else colliders)
+        return x8.at[0:3].set(jnp.where(free, p.T, x8[0:3]))
+
+    def substep(carry, sdt, k_edge, k_vol, omega, cols_rt, e_tabs, t_tabs):
+        x8, vv = carry
+        # PreSolve (SoftBodySolver.cs:349-362)
+        free = x8[3:4] != 0.0
+        vv = jnp.where(free, vv + gravity[:, None] * sdt, 0.0)
+        xp = x8[0:3]
+        x8 = x8.at[0:3].set(jnp.where(free, xp + vv * sdt, xp))
+
+        def iteration(x8, _):
+            if has_edges:
+                x8 = edge_pass(x8, k_edge, omega, e_tabs)
+            if has_tets:
+                x8 = tet_pass(x8, k_vol, omega, t_tabs)
+            if do_collide:
+                x8 = collide(x8, cols_rt)
+            return x8, None
+
+        x8, _ = jax.lax.scan(iteration, x8, None,
+                             length=params.iterations)
+
+        # PostSolve (SoftBodySolver.cs:364-377)
+        inv_dt = jnp.where(sdt > 0.0, 1.0 / sdt, 0.0)
+        vv = jnp.where(free, (x8[0:3] - xp) * inv_dt, 0.0)
+        return (x8, vv)
+
+    def _run(tables, state, dt, n, k_edge, k_vol, omega, cols_rt):
+        e_tabs, t_tabs, perm_j, old2new_j = tables
+        carry = to_rows(state, perm_j)
+        ss = max(1, params.substeps)
+        sdt = jnp.asarray(dt, jnp.float32) / ss
+
+        def one_step(c, _):
+            def one_sub(c2, _):
+                return substep(c2, sdt, k_edge, k_vol, omega, cols_rt,
+                               e_tabs, t_tabs), None
+            c, _ = jax.lax.scan(one_sub, c, None, length=ss)
+            return c, None
+
+        carry, _ = jax.lax.scan(one_step, carry, None, length=n)
+        return to_public(carry, state, old2new_j)
+
+    _jit_run = jax.jit(_run, static_argnums=3, donate_argnums=1)
+
+    def _resolve(edge_stiffness, volume_stiffness, sor_omega, cols_rt):
+        if cols_rt is not None and colliders is None:
+            raise ValueError(
+                "runtime colliders require a make-time collider template")
+        k_edge = jnp.asarray(
+            params.edge_stiffness if edge_stiffness is None
+            else edge_stiffness, jnp.float32)
+        k_vol = jnp.asarray(
+            params.volume_stiffness if volume_stiffness is None
+            else volume_stiffness, jnp.float32)
+        omega = jnp.asarray(
+            params.sor_omega if sor_omega is None else sor_omega,
+            jnp.float32)
+        return k_edge, k_vol, omega
+
+    def step(state: SimState, dt, edge_stiffness=None, volume_stiffness=None,
+             sor_omega=None,
+             colliders_rt: Optional[Colliders] = None) -> SimState:
+        ke, kv, om = _resolve(edge_stiffness, volume_stiffness, sor_omega,
+                              colliders_rt)
+        return _jit_run(tables, state, dt, 1, ke, kv, om, colliders_rt)
+
+    def step_n(state: SimState, dt, n: int, edge_stiffness=None,
+               volume_stiffness=None, sor_omega=None,
+               colliders_rt: Optional[Colliders] = None) -> SimState:
+        ke, kv, om = _resolve(edge_stiffness, volume_stiffness, sor_omega,
+                              colliders_rt)
+        return _jit_run(tables, state, dt, int(n), ke, kv, om, colliders_rt)
+
+    step.step_n = step_n
+    step.prejit = True
+    step_n.prejit = True
+    return step

@@ -1,0 +1,168 @@
+"""Jacobi-dialect Pallas pass kernels (kernels/jacobi.py) vs the NumPy
+oracle and the XLA gather backend.
+
+Unlike the XPBD sweeps there is no ordering approximation: the Pallas
+passes must match the other jacobi backends up to fp32 summation order.
+
+Step counts are deliberately small: interpret-mode pallas runs a Python
+TPU simulator per grid step per scan iteration (~seconds per sim step),
+and parity drift only shrinks with fewer steps.  Bodies start near
+contact so ground/collider projection is still exercised."""
+
+import numpy as np
+
+from softbodysim_tpu import Colliders, Engine, SolverParams
+from softbodysim_tpu.core import meshes
+
+from oracle import JacobiOracle
+
+DT = 1.0 / 60.0
+
+
+def _params(**kw):
+    base = dict(dialect="jacobi", substeps=2, iterations=6,
+                edge_stiffness=0.9, volume_stiffness=0.98, sor_omega=1.4,
+                particle_radius=0.02, gravity=(0.0, -10.0, 0.0),
+                jacobi_backend="pallas", use_pallas="off")
+    base.update(kw)
+    return SolverParams(**base)
+
+
+def test_cube_drop_matches_oracle():
+    topo = meshes.tet_cube(3, 3, 3, size=0.5, center=(0.0, 0.3, 0.0))
+    params = _params()
+    eng = Engine(topo, params)
+    oracle = JacobiOracle(topo, params)
+    for _ in range(30):
+        eng.step(DT)
+        oracle.step(DT)
+    # ground contact happened (cube started 0.05 above it)
+    assert oracle.x[:, 1].min() < 0.1
+    np.testing.assert_allclose(eng.positions(), oracle.x, atol=2e-4)
+
+
+def test_agrees_with_gather_backend():
+    topo = meshes.tet_ball(1, 0.3, (0.0, 0.35, 0.0))
+    a = Engine(topo, _params())
+    b = Engine(topo, _params(jacobi_backend="gather"))
+    for _ in range(16):
+        a.step(DT)
+        b.step(DT)
+    np.testing.assert_allclose(a.positions(), b.positions(), atol=2e-5)
+    np.testing.assert_allclose(a.velocities(), b.velocities(), atol=2e-3)
+
+
+def test_pinned_cloth_edges_only():
+    topo, pinned = meshes.cloth_patch(9, 9)
+    params = _params(ground_enabled=False)
+    a = Engine(topo, params, pinned=pinned)
+    b = Engine(topo, _params(jacobi_backend="gather", ground_enabled=False),
+               pinned=pinned)
+    for _ in range(16):
+        a.step(DT)
+        b.step(DT)
+    p = a.positions()
+    np.testing.assert_allclose(p[pinned], topo.vertices[pinned], atol=1e-6)
+    np.testing.assert_allclose(p, b.positions(), atol=2e-5)
+
+
+def test_colliders_and_runtime_poses():
+    topo = meshes.tet_cube(3, 3, 3, size=0.4, center=(0.0, 0.55, 0.0))
+    items = [Colliders.sphere((0.0, 0.2, 0.0), 0.25)]
+    cols = Colliders.build(items)
+    params = _params()
+    eng = Engine(topo, params, colliders=cols)
+    oracle = JacobiOracle(topo, params, colliders=items)
+    for _ in range(20):
+        eng.step(DT)
+        oracle.step(DT)
+    # the sphere collider holds the cube up: free fall over 20 steps would
+    # put the bottom near -0.2, resting on the sphere keeps it ~0.45
+    assert 0.2 < oracle.x[:, 1].min() < 0.55
+    np.testing.assert_allclose(eng.positions(), oracle.x, atol=2e-4)
+    # runtime collider poses recompile nothing and keep matching
+    moved = [Colliders.sphere((0.05, 0.2, 0.0), 0.25)]
+    eng.update_colliders(Colliders.build(moved))
+    oracle2 = JacobiOracle(topo, params, colliders=moved)
+    oracle2.x = oracle.x.copy()
+    oracle2.v = oracle.v.copy()
+    for _ in range(8):
+        eng.step(DT)
+        oracle2.step(DT)
+    np.testing.assert_allclose(eng.positions(), oracle2.x, atol=2e-4)
+
+
+def test_stiffness_overrides_match_gather():
+    topo = meshes.tet_cube(3, 3, 3, size=0.5, center=(0.0, 0.9, 0.0))
+    from softbodysim_tpu.core.state import init_state
+    from softbodysim_tpu.solver import make_step
+
+    sa = make_step(topo, _params())
+    sb = make_step(topo, _params(jacobi_backend="gather"))
+    a = init_state(topo)
+    b = init_state(topo)
+    for _ in range(10):
+        a = sa(a, DT, edge_stiffness=0.5, volume_stiffness=0.7,
+               sor_omega=1.1)
+        b = sb(b, DT, edge_stiffness=0.5, volume_stiffness=0.7,
+               sor_omega=1.1)
+    np.testing.assert_allclose(np.asarray(a.x), np.asarray(b.x), atol=2e-5)
+
+
+def test_step_n_equals_repeated_step():
+    topo = meshes.tet_cube(3, 3, 3, size=0.5, center=(0.0, 0.8, 0.0))
+    from softbodysim_tpu.core.state import init_state
+    from softbodysim_tpu.solver import make_step
+
+    step = make_step(topo, _params())
+    s_loop = init_state(topo)
+    for _ in range(8):
+        s_loop = step(s_loop, DT)
+    s_n = step.step_n(init_state(topo), DT, 8)
+    np.testing.assert_allclose(np.asarray(s_n.x), np.asarray(s_loop.x),
+                               atol=1e-6)
+
+
+def test_pallas_rejects_unsupported_features():
+    import pytest
+
+    topo = meshes.tet_cube(2, 2, 2)
+    from softbodysim_tpu.solver import make_step
+
+    with pytest.raises(ValueError):
+        make_step(topo, _params(self_collision=True))
+
+
+def test_merged_scene_matches_separate_bodies():
+    """Disjoint-union execution (Scene.build_merged) is exactly per-body
+    physics: no constraint crosses a body boundary."""
+    from softbodysim_tpu.api.scenes import Scene
+    from softbodysim_tpu.core.topology import merge_topologies
+
+    t1 = meshes.tet_cube(2, 2, 2, size=0.4, center=(-0.6, 0.3, 0.0))
+    t2 = meshes.tet_ball(1, 0.25, (0.6, 0.35, 0.0))
+    params = _params()
+    scene = Scene(name="mini", colliders=[],
+                  bodies=[("a", t1, params, {}), ("b", t2, params, {})])
+    eng, voffs = scene.build_merged()
+    sep = [Engine(t1, params), Engine(t2, params)]
+    for _ in range(16):
+        eng.step(DT)
+        for s in sep:
+            s.step(DT)
+    merged_pos = eng.positions()
+    np.testing.assert_allclose(merged_pos[voffs[0]:voffs[1]],
+                               sep[0].positions(), atol=2e-5)
+    np.testing.assert_allclose(merged_pos[voffs[1]:voffs[2]],
+                               sep[1].positions(), atol=2e-5)
+
+
+def test_merged_rejects_mixed_params():
+    import pytest
+    from softbodysim_tpu.api.scenes import Scene
+
+    t = meshes.tet_cube(2, 2, 2)
+    scene = Scene(name="bad", colliders=[], bodies=[
+        ("a", t, _params(), {}), ("b", t, _params(sor_omega=1.0), {})])
+    with pytest.raises(ValueError):
+        scene.build_merged()
