@@ -35,6 +35,14 @@ if not _os.environ.get("SOFTBODYSIM_NO_COMPILE_CACHE"):
                           "softbodysim_tpu_xla"))
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        # Full tracebacks bake the CALLER's source lines into the Mosaic
+        # kernel payload (an opaque backend_config string the cache-key
+        # metadata stripper cannot reach), so any change of call stack --
+        # even the same script calling from a different line -- recompiles
+        # the multi-minute 100k-scale Pallas programs.  With this off,
+        # kernel locations are the package's own (stable) frames and
+        # identical programs hit the persistent cache from any caller.
+        _jax.config.update("jax_include_full_tracebacks_in_locations", False)
     except Exception:  # pragma: no cover - cache is best-effort
         pass
 

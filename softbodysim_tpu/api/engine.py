@@ -49,7 +49,17 @@ class Engine:
             density=density, pin_top_layer=pin_top_layer)
         self._raw_step = make_step(topology, params, colliders=colliders,
                                    **solver_kw)
-        self._step = jax.jit(self._raw_step, donate_argnums=0)
+        self._step = self._wrap(self._raw_step)
+
+    @staticmethod
+    def _wrap(raw_step):
+        """Jit the solver step -- unless the backend pre-jitted it (Pallas
+        backends thread their >100 MB plan tables as jit arguments; an
+        outer jax.jit would re-capture them as HLO constants and pay ~40 s
+        of trace+lower per process)."""
+        if getattr(raw_step, "prejit", False):
+            return raw_step
+        return jax.jit(raw_step, donate_argnums=0)
 
     def step(self, dt: float = 1.0 / 60.0, **overrides) -> "Engine":
         """overrides are forwarded to the jitted step: per-step stiffness
@@ -71,20 +81,45 @@ class Engine:
         self.colliders = colliders
         return self
 
+    # Multi-step bursts run in fixed-size chunks so an Engine compiles at
+    # most TWO programs (the chunk and the single step) no matter how many
+    # distinct run() lengths are requested -- at 100k-particle scale a
+    # Pallas-backend program is minutes of cold compile, so per-length
+    # programs (run(5), run(30), run(300) -> 3 compiles) are unaffordable.
+    RUN_CHUNK = 32
+
     def run(self, steps: int, dt: float = 1.0 / 60.0) -> "Engine":
         """Run ``steps`` fixed steps.  Backends with a multi-step fast path
-        (the Pallas sweep backend's ``step_n``) run the whole burst in one
-        program, paying their state-layout boundary once instead of per
-        step."""
+        (the Pallas backends' ``step_n``) run RUN_CHUNK-step bursts in one
+        program, paying their state-layout boundary once per chunk instead
+        of per step; the remainder runs as single steps."""
         step_n = getattr(self._raw_step, "step_n", None)
-        if step_n is not None and self.colliders is None and steps > 1:
-            key = ("_step_n", steps)
+        chunk = self.RUN_CHUNK
+        if step_n is not None and steps >= chunk:
+            key = self.colliders is not None
             if getattr(self, "_step_n_key", None) != key:
+                self._step_n = None
                 self._step_n_key = key
-                self._step_n = jax.jit(
-                    lambda s, d: step_n(s, d, steps), donate_argnums=0)
-            self.state = self._step_n(self.state, dt)
-            return self
+            if getattr(self, "_step_n", None) is None:
+                if getattr(step_n, "prejit", False):
+                    if self.colliders is not None:
+                        self._step_n = lambda s, d, c: step_n(
+                            s, d, chunk, colliders_rt=c)
+                    else:
+                        self._step_n = lambda s, d: step_n(s, d, chunk)
+                elif self.colliders is not None:
+                    def chunked(s, d, c):
+                        return step_n(s, d, chunk, colliders_rt=c)
+                    self._step_n = jax.jit(chunked, donate_argnums=0)
+                else:
+                    self._step_n = jax.jit(
+                        lambda s, d: step_n(s, d, chunk), donate_argnums=0)
+            for _ in range(steps // chunk):
+                if self.colliders is not None:
+                    self.state = self._step_n(self.state, dt, self.colliders)
+                else:
+                    self.state = self._step_n(self.state, dt)
+            steps %= chunk
         for _ in range(steps):
             self.step(dt)
         return self
@@ -120,5 +155,7 @@ class Engine:
         self.colliders = colliders
         self._raw_step = make_step(self.topology, params,
                                    colliders=colliders, **solver_kw)
-        self._step = jax.jit(self._raw_step, donate_argnums=0)
+        self._step = self._wrap(self._raw_step)
+        self._step_n = None
+        self._step_n_key = None
         return self

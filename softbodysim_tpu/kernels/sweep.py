@@ -199,11 +199,11 @@ def pack_constraints(cons: np.ndarray, rest: np.ndarray, num_windows: int,
     valid = perm >= 0
     pos_of[perm[valid]] = np.flatnonzero(valid)
 
-    return SweepPlan(
+    return _trim_plan(SweepPlan(
         arity=arity, num_blocks=nblk, nslots=s_cap, dmax=dmax,
         slots=slots, rel=rel.reshape(nblk * arity, LANES), inv=inv,
         rest=rest_p, perm=perm, pos_of=pos_of, scale=scale,
-    )
+    ))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -243,6 +243,41 @@ class SuperPlan:
         return self.num_super * 8 * LANES
 
 
+def _trim_plan(plan):
+    """Drop trailing all-empty blocks below one kernel grid step.
+
+    Both packers pad the block count to a SUBBLOCKS multiple, but a mesh
+    that needs fewer than SUBBLOCKS blocks then runs (and compiles) up to
+    8x dead work: the kernel body unrolls every sub-block of the group.
+    When the used block count is under SUBBLOCKS, slice the plan down and
+    let the kernel group exactly that many (interpret-mode compile of the
+    test meshes drops ~8x; small real scenes shed the same padding).
+    Above SUBBLOCKS the multiple-of-8 padding is kept (gb=8 must divide)."""
+    is_super = isinstance(plan, SuperPlan)
+    nb = plan.num_super if is_super else plan.num_blocks
+    rows = 8 * LANES if is_super else LANES
+    used_mask = (plan.perm.reshape(nb, rows) >= 0).any(axis=1)
+    used = max(1, int(np.flatnonzero(used_mask).max()) + 1
+               if used_mask.any() else 1)
+    if used >= SUBBLOCKS or used == nb:
+        return plan
+    S, dmax, arity = plan.nslots, plan.dmax, plan.arity
+    sub = 8 if is_super else 1
+    kw = dict(
+        arity=arity, nslots=S, dmax=dmax,
+        slots=plan.slots[:used],
+        rel=plan.rel[: used * arity * sub],
+        inv=plan.inv[: used * S * dmax * sub],
+        rest=plan.rest[: used * sub],
+        scale=plan.scale[: used * sub],
+        perm=plan.perm[: used * rows],
+        pos_of=plan.pos_of,
+    )
+    if is_super:
+        return SuperPlan(num_super=used, **kw)
+    return SweepPlan(num_blocks=used, **kw)
+
+
 def pack_superblocks(cons: np.ndarray, rest: np.ndarray, num_windows: int,
                      *, slots_cap: int = 8, layer_cap: int = 2,
                      use_native: bool = True) -> SuperPlan:
@@ -267,10 +302,10 @@ def pack_superblocks(cons: np.ndarray, rest: np.ndarray, num_windows: int,
                 perm[valid]]
             pos_of = np.full((n,), -1, np.int64)
             pos_of[perm[valid]] = np.flatnonzero(valid)
-            return SuperPlan(
+            return _trim_plan(SuperPlan(
                 arity=arity, num_super=nsup, nslots=slots_cap, dmax=dmax,
                 slots=slots, rel=rel, inv=inv, rest=rest_p, perm=perm,
-                pos_of=pos_of, scale=scale)
+                pos_of=pos_of, scale=scale))
 
     win = cons // LANES
 
@@ -383,12 +418,81 @@ def pack_superblocks(cons: np.ndarray, rest: np.ndarray, num_windows: int,
     valid = perm >= 0
     pos_of[perm[valid]] = np.flatnonzero(valid)
 
-    return SuperPlan(
+    return _trim_plan(SuperPlan(
         arity=arity, num_super=nsup, nslots=s_cap, dmax=dmax,
         slots=slots, rel=rel.reshape(nsup * arity * 8, LANES), inv=inv,
         rest=rest_p.reshape(nsup * 8, LANES), perm=perm, pos_of=pos_of,
         scale=scale.reshape(nsup * 8, LANES),
-    )
+    ))
+
+
+def rcm_order(num_vertices: int, edges: np.ndarray) -> np.ndarray:
+    """Reverse Cuthill-McKee permutation (new slot -> old id) from the edge
+    graph.  Bandwidth-minimizing orders beat Morton codes for packing
+    unstructured (Delaunay-style) tet meshes: after RCM an edge spans
+    O(bandwidth/128) windows, so super-blocks fill from a narrow sliding
+    window band (measured: the reference's BatchTest assets pack at 0.03
+    fill under Morton vs ~0.5+ under RCM)."""
+    if len(edges) == 0:
+        return np.arange(num_vertices, dtype=np.int64)
+    e = np.asarray(edges, np.int64)
+    try:
+        from scipy.sparse import coo_matrix
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+        m = coo_matrix(
+            (np.ones(len(e) * 2, np.float32),
+             (np.concatenate([e[:, 0], e[:, 1]]),
+              np.concatenate([e[:, 1], e[:, 0]]))),
+            shape=(num_vertices, num_vertices)).tocsr()
+        return reverse_cuthill_mckee(m).astype(np.int64)
+    except ImportError:  # pragma: no cover - scipy is normally present
+        pass
+    src = np.concatenate([e[:, 0], e[:, 1]])
+    dst = np.concatenate([e[:, 1], e[:, 0]])
+    order_ = np.argsort(src, kind="stable")
+    src, dst = src[order_], dst[order_]
+    indptr = np.zeros(num_vertices + 1, np.int64)
+    np.add.at(indptr, src + 1, 1)
+    indptr = np.cumsum(indptr)
+    degree = np.diff(indptr)
+
+    visited = np.zeros(num_vertices, bool)
+    out = np.empty(num_vertices, np.int64)
+    pos = 0
+    # component seeds in ascending degree (classic CM heuristic)
+    seeds = np.argsort(degree, kind="stable")
+    si = 0
+    while pos < num_vertices:
+        while si < len(seeds) and visited[seeds[si]]:
+            si += 1
+        root = seeds[si]
+        visited[root] = True
+        frontier = np.array([root], np.int64)
+        out[pos] = root
+        pos += 1
+        while len(frontier):
+            # gather all unvisited neighbors of the frontier, sorted by
+            # (parent order, degree) -- vectorized level-BFS
+            counts = indptr[frontier + 1] - indptr[frontier]
+            starts = indptr[frontier]
+            idx = np.repeat(starts - np.cumsum(counts) + counts,
+                            counts) + np.arange(counts.sum())
+            nbrs = dst[idx]
+            parent_rank = np.repeat(np.arange(len(frontier)), counts)
+            keep = ~visited[nbrs]
+            nbrs, parent_rank = nbrs[keep], parent_rank[keep]
+            if len(nbrs) == 0:
+                break
+            key = np.lexsort((degree[nbrs], parent_rank))
+            nbrs = nbrs[key]
+            _, first_idx = np.unique(nbrs, return_index=True)
+            level = nbrs[np.sort(first_idx)]  # dedup keeping key order
+            visited[level] = True
+            out[pos:pos + len(level)] = level
+            pos += len(level)
+            frontier = level
+    return out[::-1].copy()           # the *reverse* in RCM
 
 
 def order_vertices(vertices: np.ndarray, edges: np.ndarray,
@@ -396,8 +500,9 @@ def order_vertices(vertices: np.ndarray, edges: np.ndarray,
     """Choose a vertex permutation (new <- old) minimizing window spread.
 
     "natural" keeps the input order; "morton" sorts by 3D Morton code of the
-    rest positions (good for unstructured meshes); "auto" evaluates both with
-    a cheap slot-visit estimate and picks the better.
+    rest positions; "rcm" is reverse Cuthill-McKee on the edge graph (best
+    for unstructured meshes); "auto" evaluates all with a cheap slot-visit
+    estimate and picks the best.
     """
     v = np.asarray(vertices, np.float64)
 
@@ -418,6 +523,9 @@ def order_vertices(vertices: np.ndarray, edges: np.ndarray,
 
     if mode == "natural":
         return np.arange(len(v), dtype=np.int64)
+    if mode == "rcm":
+        return rcm_order(len(v), edges if edges is not None else
+                         np.zeros((0, 2), np.int64))
     mor = np.argsort(morton(v), kind="stable").astype(np.int64)
     if mode == "morton":
         return mor
@@ -441,7 +549,11 @@ def order_vertices(vertices: np.ndarray, edges: np.ndarray,
         return total
 
     nat = np.arange(len(v), dtype=np.int64)
-    return nat if visits(nat) <= visits(mor) else mor
+    cands = [nat, mor]
+    if edges is not None and len(edges):
+        cands.append(rcm_order(len(v), edges))
+    scores = [visits(p) for p in cands]
+    return cands[int(np.argmin(scores))]
 
 
 # --------------------------------------------------------------------------
@@ -470,7 +582,7 @@ def _scatter_slot(xout_ref, w, adds3):
 
 def _edge_kernel(alpha_ref, slots_ref, rel_ref, inv_ref, rest_ref,
                  scale_ref, lam_ref, xin_ref, xout_ref, lamout_ref,
-                 *, S, DMAX):
+                 *, S, DMAX, GB):
     s = pl.program_id(0)
 
     @pl.when(s == 0)
@@ -478,7 +590,7 @@ def _edge_kernel(alpha_ref, slots_ref, rel_ref, inv_ref, rest_ref,
         xout_ref[:] = xin_ref[:]
 
     alpha = alpha_ref[0, 0]
-    for g in range(SUBBLOCKS):
+    for g in range(GB):
         wins = [slots_ref[g, t] for t in range(S)]
         ns = slots_ref[g, S]
 
@@ -538,7 +650,7 @@ def _dot3(a, b):
 
 def _tet_kernel(alpha_ref, slots_ref, rel_ref, inv_ref, rest_ref,
                 scale_ref, lam_ref, xin_ref, xout_ref, lamout_ref,
-                *, S, DMAX):
+                *, S, DMAX, GB):
     s = pl.program_id(0)
 
     @pl.when(s == 0)
@@ -546,7 +658,7 @@ def _tet_kernel(alpha_ref, slots_ref, rel_ref, inv_ref, rest_ref,
         xout_ref[:] = xin_ref[:]
 
     alpha = alpha_ref[0, 0]
-    for g in range(SUBBLOCKS):
+    for g in range(GB):
         wins = [slots_ref[g, t] for t in range(S)]
         ns = slots_ref[g, S]
 
@@ -645,7 +757,7 @@ def _scatter_super(xout_ref, w, accx, accy, accz):
 
 def _edge_kernel_super(alpha_ref, slots_ref, rel_ref, inv_ref, rest_ref,
                        scale_ref, lam_ref, xin_ref, xout_ref, lamout_ref,
-                       *, S, DMAX):
+                       *, S, DMAX, GB):
     s = pl.program_id(0)
 
     @pl.when(s == 0)
@@ -653,7 +765,7 @@ def _edge_kernel_super(alpha_ref, slots_ref, rel_ref, inv_ref, rest_ref,
         xout_ref[:] = xin_ref[:]
 
     alpha = alpha_ref[0, 0]
-    for sb in range(SUBBLOCKS):
+    for sb in range(GB):
         wins = [slots_ref[sb, t] for t in range(S)]
         r0 = rel_ref[(sb * 2) * 8:(sb * 2) * 8 + 8, :]
         r1 = rel_ref[(sb * 2 + 1) * 8:(sb * 2 + 1) * 8 + 8, :]
@@ -710,7 +822,7 @@ def _cross_c(ax, ay, az, bx, by, bz):
 
 def _tet_kernel_super(alpha_ref, slots_ref, rel_ref, inv_ref, rest_ref,
                       scale_ref, lam_ref, xin_ref, xout_ref, lamout_ref,
-                      *, S, DMAX):
+                      *, S, DMAX, GB):
     s = pl.program_id(0)
 
     @pl.when(s == 0)
@@ -719,7 +831,7 @@ def _tet_kernel_super(alpha_ref, slots_ref, rel_ref, inv_ref, rest_ref,
 
     alpha = alpha_ref[0, 0]
     sixth = jnp.float32(1.0 / 6.0)
-    for sb in range(SUBBLOCKS):
+    for sb in range(GB):
         wins = [slots_ref[sb, t] for t in range(S)]
         acc = []
         for r in range(4):
@@ -797,16 +909,23 @@ def _tet_kernel_super(alpha_ref, slots_ref, rel_ref, inv_ref, rest_ref,
 # --------------------------------------------------------------------------
 
 def make_sweep(plan, num_windows: int, *, interpret: bool = False):
-    """Build ``sweep(x8, lam_packed, alpha) -> (x8, lam_packed)``.
+    """Build ``sweep(x8, lam_packed, alpha, tables) -> (x8, lam_packed)``.
 
     x8 is the (8, Vpad) particle table (rows 0-2 xyz, row 3 inverse mass);
     lam_packed is (lam_rows(plan), LANES) f32 in packed lane order; alpha is
     a traced f32 scalar (compliance / dt^2).  Accepts either a SweepPlan
     (128-constraint blocks) or a SuperPlan (1024-constraint super-blocks).
+
+    ``tables`` is the sweep's ``.tables`` attribute (slots/rel/inv/rest/
+    scale device arrays), threaded through the caller's jit as ARGUMENTS:
+    at 100k-constraint scale the packed plans are >100 MB, and closure-
+    captured tables would be lowered as HLO literals (~40 s of trace+lower
+    and a ~47 MB cache entry per program, measured).
     """
     S, DMAX = plan.nslots, plan.dmax
     vpad = num_windows * LANES
-    gb = SUBBLOCKS
+    nb = plan.num_super if isinstance(plan, SuperPlan) else plan.num_blocks
+    gb = min(SUBBLOCKS, nb)        # small plans are trimmed below SUBBLOCKS
     if isinstance(plan, SuperPlan):
         kernel = (_edge_kernel_super if plan.arity == 2
                   else _tet_kernel_super)
@@ -833,14 +952,8 @@ def make_sweep(plan, num_windows: int, *, interpret: bool = False):
         data_spec = pl.BlockSpec((gb, LANES), lambda s: (s, 0),
                                  memory_space=pltpu.VMEM)
 
-    slots_j = jnp.asarray(plan.slots)
-    rel_j = jnp.asarray(plan.rel)
-    inv_j = jnp.asarray(plan.inv)
-    rest_j = jnp.asarray(plan.rest)
-    scale_j = jnp.asarray(plan.scale)
-
     call = pl.pallas_call(
-        functools.partial(kernel, S=S, DMAX=DMAX),
+        functools.partial(kernel, S=S, DMAX=DMAX, GB=gb),
         grid=(nstep,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda s: (0, 0), memory_space=pltpu.SMEM),
@@ -858,11 +971,14 @@ def make_sweep(plan, num_windows: int, *, interpret: bool = False):
         interpret=interpret,
     )
 
-    def sweep(x8, lam_packed, alpha):
+    def sweep(x8, lam_packed, alpha, tables):
         alpha2 = jnp.asarray(alpha, jnp.float32).reshape(1, 1)
-        return call(alpha2, slots_j, rel_j, inv_j, rest_j, scale_j,
-                    lam_packed, x8)
+        slots, rel, inv, rest, scale = tables
+        return call(alpha2, slots, rel, inv, rest, scale, lam_packed, x8)
 
+    sweep.tables = (jnp.asarray(plan.slots), jnp.asarray(plan.rel),
+                    jnp.asarray(plan.inv), jnp.asarray(plan.rest),
+                    jnp.asarray(plan.scale))
     return sweep
 
 

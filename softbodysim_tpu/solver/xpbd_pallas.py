@@ -59,20 +59,36 @@ def _cached_plans(topology, vertex_order, slots_cap, layer_cap, nwin,
 
     e_plan = t_plan = None
     if superblocks:
-        # 1024-wide super-blocks: slot pool 8; same-sublane multiplicity cap
-        # 2 for edges (degree ~14 spreads over 8 sublanes), 3 for tets
-        # (interior vertices sit in ~24 tets).
-        scap = 8 if slots_cap is None else slots_cap
+        # 1024-wide super-blocks; same-sublane multiplicity cap 2 for edges
+        # (degree ~14 spreads over 8 sublanes), 3 for tets (interior
+        # vertices sit in ~24 tets).  The window-slot pool is ADAPTIVE:
+        # structured meshes pack densely at S=8 (cheapest gathers), but
+        # high-bandwidth unstructured meshes (the reference's Delaunay
+        # assets span 5-8 windows per tet even after RCM) fill as little as
+        # 0.2 there -- wider pools trade gather ops for fill; pick the cap
+        # minimizing an op-count model over the realized packings.
+        def pack_best(cons, rest, lcap, arity):
+            caps = ([slots_cap] if slots_cap is not None else [8, 12, 16])
+            best = None
+            for scap in caps:
+                plan = sw.pack_superblocks(cons, rest, nwin, slots_cap=scap,
+                                           layer_cap=layer_cap or lcap)
+                # per-block op model: gathers ~12/(role,slot), scatter tiles
+                # ~15/(slot,layer), ~80 fixed (compute + lam + RMWs)
+                cost = plan.num_super * (12 * arity * scap
+                                         + 15 * scap * plan.dmax + 80)
+                if best is None or cost < best[0]:
+                    best = (cost, plan)
+                if len(cons) / plan.capacity >= 0.6:
+                    break     # dense enough; wider pools only add ops
+            return best[1]
+
         if has_edges:
-            e_plan = sw.pack_superblocks(
-                old2new[topology.edges.astype(np.int64)],
-                topology.edge_rest, nwin, slots_cap=scap,
-                layer_cap=layer_cap or 2)
+            e_plan = pack_best(old2new[topology.edges.astype(np.int64)],
+                               topology.edge_rest, 2, 2)
         if has_tets:
-            t_plan = sw.pack_superblocks(
-                old2new[topology.tets.astype(np.int64)],
-                topology.tet_rest_vol, nwin, slots_cap=scap,
-                layer_cap=layer_cap or 3)
+            t_plan = pack_best(old2new[topology.tets.astype(np.int64)],
+                               topology.tet_rest_vol, 3, 4)
     else:
         scap = 4 if slots_cap is None else slots_cap
         if has_edges:
@@ -132,20 +148,22 @@ def make_xpbd_pallas_step(topology, params: SolverParams,
     old2new = np.empty_like(perm)
     old2new[perm] = np.arange(V)
 
+    edge_sweep = tet_sweep = None
     if has_edges:
         edge_sweep = sw.make_sweep(e_plan, nwin, interpret=interpret)
     if has_tets:
         tet_sweep = sw.make_sweep(t_plan, nwin, interpret=interpret)
+    tables = (edge_sweep.tables if has_edges else (),
+              tet_sweep.tables if has_tets else (),
+              jnp.asarray(perm), jnp.asarray(old2new))
 
-    perm_j = jnp.asarray(perm)
-    old2new_j = jnp.asarray(old2new)
     gravity = jnp.asarray(params.gravity, jnp.float32)
     fr = min(1.0, max(0.0, params.friction))
     pad = vpad - V
 
     # ---- public <-> internal layout --------------------------------------
 
-    def to_rows(state: SimState):
+    def to_rows(state: SimState, perm_j):
         def rows3(a):                      # (V,3) -> (3,Vpad), permuted
             return jnp.pad(a[perm_j], ((0, pad), (0, 0))).T
         w = jnp.pad(state.inv_mass[perm_j], (0, pad))
@@ -158,7 +176,7 @@ def make_xpbd_pallas_step(topology, params: SolverParams,
                  if has_tets else jnp.zeros((8, LANES), jnp.float32))
         return (x8, rows3(state.x), rows3(state.v), lam_e, lam_t)
 
-    def to_public(carry, state: SimState) -> SimState:
+    def to_public(carry, state: SimState, old2new_j) -> SimState:
         x8, xp, vv, lam_e, lam_t = carry
 
         def unrows(rows):                  # (3,Vpad) -> (V,3), unpermuted
@@ -212,16 +230,16 @@ def make_xpbd_pallas_step(topology, params: SolverParams,
         xp = jnp.where(free, xs, xp)
         return x8.at[0:3].set(xp), xp, vv
 
-    def substep(carry, sdt, e_alpha, t_alpha, cols_rt):
+    def substep(carry, sdt, e_alpha, t_alpha, cols_rt, e_tabs, t_tabs):
         x8, xp, vv, lam_e, lam_t = carry
         x8, vv = predict(x8, xp, vv, sdt)
 
         def iteration(c, _):
             x8, lam_e, lam_t = c
             if has_edges:
-                x8, lam_e = edge_sweep(x8, lam_e, e_alpha)
+                x8, lam_e = edge_sweep(x8, lam_e, e_alpha, e_tabs)
             if has_tets:
-                x8, lam_t = tet_sweep(x8, lam_t, t_alpha)
+                x8, lam_t = tet_sweep(x8, lam_t, t_alpha, t_tabs)
             if params.ground_enabled:
                 x8 = ground(x8)
             if colliders is not None:
@@ -233,7 +251,9 @@ def make_xpbd_pallas_step(topology, params: SolverParams,
         x8, xp, vv = commit(x8, xp, vv, sdt)
         return (x8, xp, vv, lam_e, lam_t)
 
-    def run_steps(carry, dt, n, ec, vc, cols_rt):
+    def _run(tables, state, dt, n, ec, vc, cols_rt):
+        e_tabs, t_tabs, perm_j, old2new_j = tables
+        carry = to_rows(state, perm_j)
         ss = max(1, params.substeps)
         sdt = _f32(dt) / ss
         inv_dt2 = jnp.where(sdt > 1e-12, 1.0 / (sdt * sdt), 0.0)
@@ -242,12 +262,15 @@ def make_xpbd_pallas_step(topology, params: SolverParams,
 
         def one_step(c, _):
             def one_sub(c2, _):
-                return substep(c2, sdt, e_alpha, t_alpha, cols_rt), None
+                return substep(c2, sdt, e_alpha, t_alpha, cols_rt,
+                               e_tabs, t_tabs), None
             c, _ = jax.lax.scan(one_sub, c, None, length=ss)
             return c, None
 
         carry, _ = jax.lax.scan(one_step, carry, None, length=n)
-        return carry
+        return to_public(carry, state, old2new_j)
+
+    _jit_run = jax.jit(_run, static_argnums=3, donate_argnums=1)
 
     def _resolve(edge_compliance, volume_compliance, colliders_rt):
         if colliders_rt is not None and colliders is None:
@@ -263,19 +286,17 @@ def make_xpbd_pallas_step(topology, params: SolverParams,
              volume_compliance=None,
              colliders_rt: Optional[Colliders] = None) -> SimState:
         ec, vc = _resolve(edge_compliance, volume_compliance, colliders_rt)
-        carry = to_rows(state)
-        carry = run_steps(carry, dt, 1, ec, vc, colliders_rt)
-        return to_public(carry, state)
+        return _jit_run(tables, state, dt, 1, ec, vc, colliders_rt)
 
     def step_n(state: SimState, dt, n: int, edge_compliance=None,
                volume_compliance=None,
                colliders_rt: Optional[Colliders] = None) -> SimState:
         ec, vc = _resolve(edge_compliance, volume_compliance, colliders_rt)
-        carry = to_rows(state)
-        carry = run_steps(carry, dt, n, ec, vc, colliders_rt)
-        return to_public(carry, state)
+        return _jit_run(tables, state, dt, int(n), ec, vc, colliders_rt)
 
     step.step_n = step_n
+    step.prejit = True
+    step_n.prejit = True
     # the packed plans define the block-synchronous constraint ordering the
     # oracle must replay (perm + per-lane dlambda scale)
     step.block_order = {
