@@ -11,6 +11,10 @@ that were previously only in PLAN.md):
    (substeps 8 x iterations 6) -- the hardest honest configuration.
 3. **batched**: 128 vmapped bunny-scale Jacobi bodies (the BatchTest-style
    datagen workload) -- constraint projections/sec vs the 1e8/s/core target.
+4. **batch_test**: the reference's actual BatchTest scene (20 bodies /
+   87.8k particles / 687k constraints, real tet assets, BatchTest.unity
+   tunings), merged-mesh execution on the jacobi Pallas passes
+   (Scene.build_merged).  The reference implies 60 FPS interactive.
 
 Prints exactly one JSON line.
 """
@@ -27,12 +31,18 @@ def _bench_single(meshes, SolverParams, init_state, make_step, jax,
     params = SolverParams(dialect="xpbd", substeps=8, iterations=iterations,
                           xpbd_backend="pallas")
     step = make_step(topo, params)
-    state = init_state(topo)
-    run = jax.jit(lambda s: step.step_n(s, 1.0 / 60.0, steps))
-    out = run(state)
+    if getattr(step.step_n, "prejit", False):   # pallas backends pre-jit
+        run = lambda s: step.step_n(s, 1.0 / 60.0, steps)  # noqa: E731
+    else:
+        run = jax.jit(lambda s: step.step_n(s, 1.0 / 60.0, steps))
+    # the pre-jitted paths donate the state buffers, so feed a fresh state
+    # per call (init cost is negligible vs the 60-step program)
+    out = run(init_state(topo))
     jax.block_until_ready(out.x)           # compile + warm
     elapsed = 1e30
     for _ in range(2):
+        state = init_state(topo)
+        jax.block_until_ready(state.x)
         t0 = time.perf_counter()
         out = run(state)
         jax.block_until_ready(out.x)
@@ -83,6 +93,23 @@ def main():
     brate = (batch * (btopo.num_edges + btopo.num_tets)
              * bparams.iterations * bparams.substeps * bsteps) / belapsed
 
+    # --- 4. the reference's BatchTest scene, merged-mesh execution --------
+    from softbodysim_tpu.api.scenes import batch_test
+
+    bt = batch_test()
+    beng, _ = bt.build_merged()
+    chunk = beng.RUN_CHUNK
+    beng.run(chunk, dt)
+    beng.block()                           # compile + warm
+    bt_best = 1e30
+    for _ in range(2):
+        t0 = time.perf_counter()
+        beng.run(chunk, dt)
+        beng.block()
+        bt_best = min(bt_best, time.perf_counter() - t0)
+    bt_sps = chunk / bt_best
+    btopo_m = beng.topology
+
     result = {
         "metric": "100k_particle_8substep_steps_per_sec",
         "value": float(f"{sps1:.4g}"),
@@ -106,6 +133,13 @@ def main():
                 "batch": batch, "V": btopo.num_particles,
                 "proj_per_sec": float(f"{brate:.4g}"),
                 "vs_1e8_target": float(f"{brate / 1e8:.4g}"),
+            },
+            "batch_test_merged": {
+                "bodies": len(bt.bodies), "V": btopo_m.num_particles,
+                "constraints": btopo_m.num_edges + btopo_m.num_tets,
+                "ms_per_step": round(bt_best / chunk * 1e3, 2),
+                "steps_per_sec": round(bt_sps, 1),
+                "vs_60fps": float(f"{bt_sps / 60.0:.4g}"),
             },
             "device": str(jax.devices()[0]),
         },
