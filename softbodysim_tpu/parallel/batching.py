@@ -54,6 +54,11 @@ def make_batched_step(topology: Topology, params: SolverParams,
       jacobi: step(state, dt, edge_stiffness[B], volume_stiffness[B])
     """
     step = make_step(topology, params, colliders=colliders)
+    if getattr(step, "prejit", False):
+        raise ValueError(
+            "the Pallas backends cannot be vmapped (pre-jitted steps with "
+            "donated state); use xpbd_backend/jacobi_backend='gather' for "
+            "batched scenes, or Scene.build_merged for one big scene")
 
     if not randomized_stiffness:
         return jax.vmap(step, in_axes=(0, None))

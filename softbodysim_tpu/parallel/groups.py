@@ -65,6 +65,10 @@ class GroupedSceneEngine:
                              edge_lambda=state.edge_lambda,
                              tet_lambda=state.tet_lambda)
             fn = make_step(g.topology, g.params, colliders=colliders)
+            if getattr(fn, "prejit", False):
+                raise ValueError(
+                    "the Pallas backends cannot be vmapped; set the family "
+                    "backend to 'gather' or use Scene.build_merged")
             step = jax.jit(jax.vmap(fn, in_axes=(0, None)), donate_argnums=0)
             self._engines.append({"state": state, "step": step})
 

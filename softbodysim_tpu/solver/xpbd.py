@@ -217,8 +217,13 @@ def make_xpbd_step(topology, params: SolverParams,
         # ~10x (kernels/sweep.py) at the cost of block-synchronous (rather
         # than colored-GS) constraint ordering -- an ordering change of the
         # same class as coloring itself, so "auto" takes it for big scenes.
+        # (pallas only on real TPU: interpret mode at this scale is
+        # unusably slow)
+        import jax as _jax
+
         big = (topology.num_edges + topology.num_tets) >= 100_000
-        backend = "pallas" if big else "gather"
+        on_tpu = _jax.default_backend() == "tpu"
+        backend = "pallas" if (big and on_tpu) else "gather"
     if backend == "pallas":
         # VMEM-resident Pallas sweep kernels (kernels/sweep.py); its own
         # module owns layout conversion and the block-synchronous ordering

@@ -75,3 +75,18 @@ def test_batch_test_composition():
     # with reference assets: 10*162 + 10*8613 ~= 87k particles (SURVEY:
     # "~90k particles scene-wide"); procedural fallback is smaller
     assert total_particles > 10_000
+
+
+def test_extreme_test_merged_runs():
+    """ExtremeTest as ONE merged mesh (the TPU scene fast path) -- gather
+    backend keeps this CPU-quick; the pallas variant is covered by
+    test_jacobi_pallas.py::test_merged_scene_matches_separate_bodies."""
+    import numpy as np
+
+    scene = extreme_test()
+    eng, voffs = scene.build_merged(backend="gather")
+    assert len(voffs) == len(scene.bodies) + 1
+    eng.run(8, 1 / 60)
+    pos = eng.positions()
+    assert np.isfinite(pos).all()
+    assert pos.shape[0] == voffs[-1]
