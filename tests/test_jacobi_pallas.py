@@ -42,6 +42,9 @@ def test_cube_drop_matches_oracle():
 
 
 def test_agrees_with_gather_backend():
+    """Default params AND per-step stiffness overrides agree with the
+    gather backend -- overrides are traced scalars, so both phases reuse
+    ONE compiled pallas program (interpret compiles are ~1 min each)."""
     topo = meshes.tet_ball(1, 0.3, (0.0, 0.35, 0.0))
     a = Engine(topo, _params())
     b = Engine(topo, _params(jacobi_backend="gather"))
@@ -50,6 +53,11 @@ def test_agrees_with_gather_backend():
         b.step(DT)
     np.testing.assert_allclose(a.positions(), b.positions(), atol=2e-5)
     np.testing.assert_allclose(a.velocities(), b.velocities(), atol=2e-3)
+    ov = dict(edge_stiffness=0.5, volume_stiffness=0.7, sor_omega=1.1)
+    for _ in range(8):
+        a.step(DT, **ov)
+        b.step(DT, **ov)
+    np.testing.assert_allclose(a.positions(), b.positions(), atol=3e-5)
 
 
 def test_pinned_cloth_edges_only():
@@ -90,23 +98,6 @@ def test_colliders_and_runtime_poses():
         eng.step(DT)
         oracle2.step(DT)
     np.testing.assert_allclose(eng.positions(), oracle2.x, atol=2e-4)
-
-
-def test_stiffness_overrides_match_gather():
-    topo = meshes.tet_cube(3, 3, 3, size=0.5, center=(0.0, 0.9, 0.0))
-    from softbodysim_tpu.core.state import init_state
-    from softbodysim_tpu.solver import make_step
-
-    sa = make_step(topo, _params())
-    sb = make_step(topo, _params(jacobi_backend="gather"))
-    a = init_state(topo)
-    b = init_state(topo)
-    for _ in range(10):
-        a = sa(a, DT, edge_stiffness=0.5, volume_stiffness=0.7,
-               sor_omega=1.1)
-        b = sb(b, DT, edge_stiffness=0.5, volume_stiffness=0.7,
-               sor_omega=1.1)
-    np.testing.assert_allclose(np.asarray(a.x), np.asarray(b.x), atol=2e-5)
 
 
 def test_step_n_equals_repeated_step():
