@@ -88,10 +88,17 @@ class Scene:
         if len(densities) != 1:
             raise ValueError("build_merged requires uniform density")
         merged, voffs = merge_topologies([t for _, t, _, _ in self.bodies])
+        pinned = []
+        for b, (_, _, _, kw) in enumerate(self.bodies):
+            if kw.get("pinned") is not None:
+                pinned.extend(
+                    int(i) + int(voffs[b])
+                    for i in np.atleast_1d(kw["pinned"]).tolist())
         cols = Colliders.build(self.colliders) if self.colliders else None
         params = params0.replace(jacobi_backend=backend)
         eng = Engine(merged, params, colliders=cols,
-                     density=densities.pop())
+                     density=densities.pop(),
+                     pinned=np.asarray(pinned, np.int64) if pinned else None)
         return eng, voffs
 
 

@@ -90,3 +90,22 @@ def test_extreme_test_merged_runs():
     pos = eng.positions()
     assert np.isfinite(pos).all()
     assert pos.shape[0] == voffs[-1]
+
+
+def test_merged_carries_per_body_pinned():
+    """Per-body pinned indices offset into the merged vertex space."""
+    import numpy as np
+    from softbodysim_tpu.api.scenes import Scene, _params
+    from softbodysim_tpu.core import meshes
+
+    t1 = meshes.tet_cube(2, 2, 2, size=0.4, center=(-0.6, 1.0, 0.0))
+    t2 = meshes.tet_cube(2, 2, 2, size=0.4, center=(0.6, 1.0, 0.0))
+    p = _params()
+    scene = Scene(name="pin", colliders=[], bodies=[
+        ("free", t1, p, {}), ("pinned", t2, p, {"pinned": [0, 1]})])
+    eng, voffs = scene.build_merged(backend="gather")
+    eng.run(8, 1 / 60)
+    pos = eng.positions()
+    held = pos[voffs[1]:voffs[1] + 2]
+    np.testing.assert_allclose(held, t2.vertices[:2], atol=1e-6)
+    assert pos[:voffs[1], 1].min() < t1.vertices[:, 1].min() - 1e-3
