@@ -72,8 +72,10 @@ class Scene:
         particles) it beats grouped vmap ~10x because the whole scene is
         one VMEM-resident particle table.
 
-        Requires uniform SolverParams across bodies (true for all four
-        reference scenes).  Returns (engine, vertex_offsets).
+        Bodies may differ in edge/volume stiffness (the reference's
+        per-SoftBodySolver tunables become per-constraint stiffness
+        tables); all OTHER SolverParams fields must be uniform.  Returns
+        (engine, vertex_offsets).
         """
         from ..core.topology import merge_topologies
         from .engine import Engine
@@ -81,9 +83,15 @@ class Scene:
         if not self.bodies:
             raise ValueError(f"scene {self.name} has no bodies")
         params0 = self.bodies[0][2]
-        if any(p is not params0 and p != params0
+        norm0 = params0.replace(edge_stiffness=0.0, volume_stiffness=0.0)
+        if any(p.replace(edge_stiffness=0.0, volume_stiffness=0.0) != norm0
                for _, _, p, _ in self.bodies):
-            raise ValueError("build_merged requires uniform SolverParams")
+            raise ValueError(
+                "build_merged requires uniform SolverParams (apart from "
+                "edge/volume stiffness, which merge per-constraint)")
+        mixed_k = any(p.edge_stiffness != params0.edge_stiffness
+                      or p.volume_stiffness != params0.volume_stiffness
+                      for _, _, p, _ in self.bodies)
         densities = {kw.get("density", 1.0) for _, _, _, kw in self.bodies}
         if len(densities) != 1:
             raise ValueError("build_merged requires uniform density")
@@ -96,9 +104,18 @@ class Scene:
                     for i in np.atleast_1d(kw["pinned"]).tolist())
         cols = Colliders.build(self.colliders) if self.colliders else None
         params = params0.replace(jacobi_backend=backend)
+        solver_kw = {}
+        if mixed_k:
+            solver_kw["edge_k"] = np.concatenate([
+                np.full(t.num_edges, p.edge_stiffness, np.float32)
+                for _, t, p, _ in self.bodies])
+            solver_kw["tet_k"] = np.concatenate([
+                np.full(t.num_tets, p.volume_stiffness, np.float32)
+                for _, t, p, _ in self.bodies])
         eng = Engine(merged, params, colliders=cols,
                      density=densities.pop(),
-                     pinned=np.asarray(pinned, np.int64) if pinned else None)
+                     pinned=np.asarray(pinned, np.int64) if pinned else None,
+                     **solver_kw)
         return eng, voffs
 
 

@@ -67,7 +67,7 @@ def _apply_epilogue(xin_ref, xout_ref, omega):
 
 
 def _edge_pass_kernel(scal_ref, slots_ref, rel_ref, inv_ref, rest_ref,
-                      xin_ref, xout_ref, *, S, DMAX, NSTEP, GB):
+                      k_ref, xin_ref, xout_ref, *, S, DMAX, NSTEP, GB, PERK):
     s = pl.program_id(0)
 
     @pl.when(s == 0)
@@ -94,7 +94,10 @@ def _edge_pass_kernel(scal_ref, slots_ref, rel_ref, inv_ref, rest_ref,
         valid = (w != 0.0) & (len2 >= 1e-18)
         ln = jnp.sqrt(jnp.maximum(len2, 1e-30))
         c = ln - rest_ref[sb * 8:sb * 8 + 8, :]
-        lam = jnp.where(valid, -k * c / jnp.where(w == 0.0, 1.0, w), 0.0)
+        # PERK: per-constraint stiffness tile (mixed-material merged
+        # scenes); the scalar then acts as a runtime multiplier.
+        kk = k * k_ref[sb * 8:sb * 8 + 8, :] if PERK else k
+        lam = jnp.where(valid, -kk * c / jnp.where(w == 0.0, 1.0, w), 0.0)
         s0 = lam * a0w / ln
         s1 = -lam * a1w / ln
         c0x, c0y, c0z = dx * s0, dy * s0, dz * s0
@@ -129,7 +132,7 @@ def _edge_pass_kernel(scal_ref, slots_ref, rel_ref, inv_ref, rest_ref,
 
 
 def _tet_pass_kernel(scal_ref, slots_ref, rel_ref, inv_ref, rest_ref,
-                     xin_ref, xout_ref, *, S, DMAX, NSTEP, GB):
+                     k_ref, xin_ref, xout_ref, *, S, DMAX, NSTEP, GB, PERK):
     s = pl.program_id(0)
 
     @pl.when(s == 0)
@@ -176,8 +179,9 @@ def _tet_pass_kernel(scal_ref, slots_ref, rel_ref, inv_ref, rest_ref,
 
         vol = (gdx * (pdx - pax) + gdy * (pdy - pay) + gdz * (pdz - paz))
         cfn = vol - rest_ref[sb * 8:sb * 8 + 8, :]
+        kk = k * k_ref[sb * 8:sb * 8 + 8, :] if PERK else k
         lam = jnp.where(
-            valid, -k * cfn / jnp.where(wsum == 0.0, 1.0, wsum), 0.0)
+            valid, -kk * cfn / jnp.where(wsum == 0.0, 1.0, wsum), 0.0)
 
         sa, sb_, sc, sd = lam * wa, lam * wb, lam * wc, lam * wd
         one = jnp.float32(1.0)
@@ -220,7 +224,7 @@ def _tet_pass_kernel(scal_ref, slots_ref, rel_ref, inv_ref, rest_ref,
 
 
 def make_jacobi_pass(plan: SuperPlan, num_windows: int, *,
-                     interpret: bool = False):
+                     interpret: bool = False, per_constraint_k=None):
     """Build ``pass(x8, k, omega, tables) -> x8``: one full Jacobi
     gather+apply stage for one constraint family on the (8, Vpad) particle
     table.
@@ -229,6 +233,11 @@ def make_jacobi_pass(plan: SuperPlan, num_windows: int, *,
     scalars).  The pass reads the frozen x8 snapshot, so calling edge and
     tet passes in sequence reproduces the reference's per-iteration
     dispatch order exactly.
+
+    per_constraint_k: optional (N,) public-order stiffness per constraint
+    (mixed-material merged scenes -- the reference's per-SoftBodySolver
+    stiffness, SoftBodySolver.cs inspector fields).  When given, the
+    scalar k becomes a runtime multiplier on the packed table.
 
     ``tables`` is the pass's own ``.tables`` attribute (slots/rel/inv/rest
     device arrays), threaded through the caller's jit as ARGUMENTS: at
@@ -244,9 +253,25 @@ def make_jacobi_pass(plan: SuperPlan, num_windows: int, *,
     gb = min(SUBBLOCKS, plan.num_super)   # small plans trim below SUBBLOCKS
     nstep = plan.num_super // gb
     kernel = _edge_pass_kernel if plan.arity == 2 else _tet_pass_kernel
+    perk = per_constraint_k is not None
+
+    from .sweep import pack_lambda
+
+    if perk:
+        k_table = pack_lambda(
+            plan, jnp.asarray(per_constraint_k, jnp.float32))
+        k_spec = pl.BlockSpec((gb * 8, LANES), lambda s: (s, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        # unused dummy tile (the kernel never reads it); index map pins to
+        # block 0 so no extra streaming happens
+        k_table = jnp.zeros((gb * 8, LANES), jnp.float32)
+        k_spec = pl.BlockSpec((gb * 8, LANES), lambda s: (0, 0),
+                              memory_space=pltpu.VMEM)
 
     call = pl.pallas_call(
-        functools.partial(kernel, S=S, DMAX=DMAX, NSTEP=nstep, GB=gb),
+        functools.partial(kernel, S=S, DMAX=DMAX, NSTEP=nstep, GB=gb,
+                          PERK=perk),
         grid=(nstep,),
         in_specs=[
             pl.BlockSpec((1, 2), lambda s: (0, 0), memory_space=pltpu.SMEM),
@@ -258,6 +283,7 @@ def make_jacobi_pass(plan: SuperPlan, num_windows: int, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((gb * 8, LANES), lambda s: (s, 0),
                          memory_space=pltpu.VMEM),
+            k_spec,
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -268,9 +294,11 @@ def make_jacobi_pass(plan: SuperPlan, num_windows: int, *,
     def jacobi_pass(x8, k, omega, tables):
         scal = jnp.stack([jnp.asarray(k, jnp.float32),
                           jnp.asarray(omega, jnp.float32)]).reshape(1, 2)
-        slots, rel, inv, rest = tables
-        return call(scal, slots, rel, inv, rest, x8)
+        slots, rel, inv, rest, ktab = tables
+        return call(scal, slots, rel, inv, rest, ktab, x8)
 
     jacobi_pass.tables = (jnp.asarray(plan.slots), jnp.asarray(plan.rel),
-                          jnp.asarray(plan.inv), jnp.asarray(plan.rest))
+                          jnp.asarray(plan.inv), jnp.asarray(plan.rest),
+                          k_table)
+    jacobi_pass.per_constraint = perk
     return jacobi_pass

@@ -195,7 +195,8 @@ def apply_delta(x_pred, inv_mass, delta, cnt, omega):
 
 def make_jacobi_step(topology, params: SolverParams,
                      colliders: Optional[Colliders] = None,
-                     local_to_world=None, world_to_local=None):
+                     local_to_world=None, world_to_local=None,
+                     edge_k=None, tet_k=None):
     """Build ``step(state, dt) -> state`` implementing the full in-engine
     substep orchestration (SoftBodyManager.StepSimulation,
     SoftBodyManager.cs:199-237: per substep Pre -> iters x {edges, volumes,
@@ -204,6 +205,11 @@ def make_jacobi_step(topology, params: SolverParams,
     local_to_world / world_to_local: optional (4, 4) matrices for bodies
     simulated in local space (SoftBodySolver.cs:224-226); None == identity
     == world-space simulation (collisions then skip the matrix transform).
+
+    edge_k / tet_k: optional per-constraint stiffness arrays (E,)/(T,) --
+    mixed-material merged scenes, the reference's per-SoftBodySolver
+    stiffness.  Step-time edge_stiffness / volume_stiffness overrides then
+    MULTIPLY the arrays (default 1.0).
     """
     edges = jnp.asarray(topology.edges, jnp.int32)
     edge_rest = jnp.asarray(topology.edge_rest, jnp.float32)
@@ -240,7 +246,8 @@ def make_jacobi_step(topology, params: SolverParams,
                 "transforms, chebyshev, self_collision or surface_collision "
                 "-- use 'gather' (or 'auto', which falls back)")
         from .jacobi_pallas import make_jacobi_pallas_step
-        return make_jacobi_pallas_step(topology, params, colliders)
+        return make_jacobi_pallas_step(topology, params, colliders,
+                                       edge_k=edge_k, tet_k=tet_k)
     if backend == "gather":
         from ..core.adjacency import (
             bucketize_padded, padded_edge_adjacency, padded_tet_adjacency)
@@ -253,10 +260,13 @@ def make_jacobi_step(topology, params: SolverParams,
                 nv, topology.edges)
             ebuckets, e_pos = bucketize_padded(
                 [e_other, e_eidx], e_mask, e_mask.sum(1))
+            ek_np = (None if edge_k is None
+                     else np.asarray(edge_k, np.float32))
             e_bucket_data = [
                 (jnp.asarray(vids), jnp.asarray(arrs[0]),
                  jnp.asarray(topology.edge_rest[arrs[1]], jnp.float32),
-                 jnp.asarray(m))
+                 jnp.asarray(m),
+                 None if ek_np is None else jnp.asarray(ek_np[arrs[1]]))
                 for vids, arrs, m in ebuckets
             ]
             e_pos_j = jnp.asarray(e_pos)
@@ -347,23 +357,30 @@ def make_jacobi_step(topology, params: SolverParams,
         # k_edge / k_vol / omega are traced scalars so they can be per-scene
         # overrides under vmap (randomized-stiffness datagen, BASELINE #5)
         x_pred, k_edge, k_vol, omega = carry
+        # per-constraint stiffness arrays (edge_k/tet_k): the traced
+        # scalars act as multipliers (default 1.0)
+        tk_eff = k_vol if tet_k is None else jnp.asarray(
+            tet_k, jnp.float32) * k_vol
         if has_edges:
             if backend == "gather":
                 parts = [
-                    edge_gather_deltas(x_pred, inv_mass, ob, rb, mb, k_edge,
-                                       vids=vb)
-                    for vb, ob, rb, mb in e_bucket_data
+                    edge_gather_deltas(
+                        x_pred, inv_mass, ob, rb, mb,
+                        k_edge if kb is None else kb * k_edge, vids=vb)
+                    for vb, ob, rb, mb, kb in e_bucket_data
                 ]
                 delta = jnp.concatenate([p[0] for p in parts])[e_pos_j]
                 cnt = jnp.concatenate([p[1] for p in parts])[e_pos_j]
             else:
+                ek_eff = k_edge if edge_k is None else jnp.asarray(
+                    edge_k, jnp.float32) * k_edge
                 delta, cnt = edge_jacobi_deltas(
-                    x_pred, inv_mass, edges, edge_rest, k_edge, nv)
+                    x_pred, inv_mass, edges, edge_rest, ek_eff, nv)
             x_pred = apply_delta(x_pred, inv_mass, delta, cnt, omega)
         if has_tets:
             if backend == "gather":
                 glam, validt = tet_phase_a(
-                    x_pred, inv_mass, tets, tet_rest_vol, k_vol)
+                    x_pred, inv_mass, tets, tet_rest_vol, tk_eff)
                 parts = [
                     tet_phase_b(glam, validt, inv_mass, sb, tb, mb, vids=vb)
                     for vb, sb, tb, mb in t_bucket_data
@@ -372,7 +389,7 @@ def make_jacobi_step(topology, params: SolverParams,
                 cnt = jnp.concatenate([p[1] for p in parts])[t_pos_j]
             else:
                 delta, cnt = tet_jacobi_deltas(
-                    x_pred, inv_mass, tets, tet_rest_vol, k_vol, nv)
+                    x_pred, inv_mass, tets, tet_rest_vol, tk_eff, nv)
             x_pred = apply_delta(x_pred, inv_mass, delta, cnt, omega)
         if (do_collide or self_collide is not None
                 or surf_collide is not None):
@@ -445,12 +462,13 @@ def make_jacobi_step(topology, params: SolverParams,
             transforms were provided (the graph is built with the
             transform path).
         """
+        # with per-constraint edge_k/tet_k the scalars are multipliers
         k_edge = jnp.asarray(
-            params.edge_stiffness if edge_stiffness is None
-            else edge_stiffness, jnp.float32)
+            (1.0 if edge_k is not None else params.edge_stiffness)
+            if edge_stiffness is None else edge_stiffness, jnp.float32)
         k_vol = jnp.asarray(
-            params.volume_stiffness if volume_stiffness is None
-            else volume_stiffness, jnp.float32)
+            (1.0 if tet_k is not None else params.volume_stiffness)
+            if volume_stiffness is None else volume_stiffness, jnp.float32)
         omega = jnp.asarray(
             params.sor_omega if sor_omega is None else sor_omega,
             jnp.float32)

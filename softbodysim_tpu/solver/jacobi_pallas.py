@@ -37,7 +37,8 @@ def make_jacobi_pallas_step(topology, params: SolverParams,
                             *, interpret: Optional[bool] = None,
                             vertex_order: str = "auto",
                             slots_cap: Optional[int] = None,
-                            layer_cap: Optional[int] = None):
+                            layer_cap: Optional[int] = None,
+                            edge_k=None, tet_k=None):
     """Build ``step(state, dt, ...) -> state`` on the Pallas Jacobi passes.
 
     Carries ``step.step_n(state, dt, n)`` like the other backends (layout
@@ -49,6 +50,11 @@ def make_jacobi_pallas_step(topology, params: SolverParams,
     of ~40 s of HLO-literal embedding per process.  Consumers must not
     re-wrap it in jax.jit -- an outer trace would capture the tables as
     constants again.
+
+    edge_k / tet_k: optional (E,)/(T,) per-constraint stiffness in public
+    constraint order (mixed-material merged scenes: the reference's
+    per-SoftBodySolver stiffness).  Step-time edge_stiffness /
+    volume_stiffness overrides then MULTIPLY the tables (default 1.0).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -70,9 +76,11 @@ def make_jacobi_pallas_step(topology, params: SolverParams,
 
     edge_pass = tet_pass = None
     if has_edges:
-        edge_pass = make_jacobi_pass(e_plan, nwin, interpret=interpret)
+        edge_pass = make_jacobi_pass(e_plan, nwin, interpret=interpret,
+                                     per_constraint_k=edge_k)
     if has_tets:
-        tet_pass = make_jacobi_pass(t_plan, nwin, interpret=interpret)
+        tet_pass = make_jacobi_pass(t_plan, nwin, interpret=interpret,
+                                    per_constraint_k=tet_k)
     tables = (edge_pass.tables if has_edges else (),
               tet_pass.tables if has_tets else (),
               jnp.asarray(perm), jnp.asarray(old2new))
@@ -170,12 +178,13 @@ def make_jacobi_pallas_step(topology, params: SolverParams,
         if cols_rt is not None and colliders is None:
             raise ValueError(
                 "runtime colliders require a make-time collider template")
+        # with per-constraint tables, the scalar is a multiplier on them
         k_edge = jnp.asarray(
-            params.edge_stiffness if edge_stiffness is None
-            else edge_stiffness, jnp.float32)
+            (1.0 if edge_k is not None else params.edge_stiffness)
+            if edge_stiffness is None else edge_stiffness, jnp.float32)
         k_vol = jnp.asarray(
-            params.volume_stiffness if volume_stiffness is None
-            else volume_stiffness, jnp.float32)
+            (1.0 if tet_k is not None else params.volume_stiffness)
+            if volume_stiffness is None else volume_stiffness, jnp.float32)
         omega = jnp.asarray(
             params.sor_omega if sor_omega is None else sor_omega,
             jnp.float32)

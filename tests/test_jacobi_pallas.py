@@ -157,3 +157,27 @@ def test_merged_rejects_mixed_params():
         ("a", t, _params(), {}), ("b", t, _params(sor_omega=1.0), {})])
     with pytest.raises(ValueError):
         scene.build_merged()
+
+
+def test_merged_mixed_stiffness_pallas():
+    """Per-constraint stiffness tables in the pass kernels (PERK path)
+    match separate engines with each body's own stiffness."""
+    from softbodysim_tpu.api.scenes import Scene
+
+    t1 = meshes.tet_cube(2, 2, 2, size=0.4, center=(-0.6, 0.3, 0.0))
+    t2 = meshes.tet_cube(2, 2, 2, size=0.4, center=(0.6, 0.3, 0.0))
+    pa = _params(edge_stiffness=0.9, volume_stiffness=0.98)
+    pb = _params(edge_stiffness=0.3, volume_stiffness=0.5)
+    scene = Scene(name="mixedp", colliders=[],
+                  bodies=[("stiff", t1, pa, {}), ("soft", t2, pb, {})])
+    eng, voffs = scene.build_merged()          # pallas PERK kernels
+    sep = [Engine(t1, pa), Engine(t2, pb)]
+    for _ in range(12):
+        eng.step(DT)
+        for s in sep:
+            s.step(DT)
+    pos = eng.positions()
+    np.testing.assert_allclose(pos[voffs[0]:voffs[1]], sep[0].positions(),
+                               atol=2e-5)
+    np.testing.assert_allclose(pos[voffs[1]:voffs[2]], sep[1].positions(),
+                               atol=2e-5)

@@ -109,3 +109,43 @@ def test_merged_carries_per_body_pinned():
     held = pos[voffs[1]:voffs[1] + 2]
     np.testing.assert_allclose(held, t2.vertices[:2], atol=1e-6)
     assert pos[:voffs[1], 1].min() < t1.vertices[:, 1].min() - 1e-3
+
+
+def test_merged_mixed_stiffness_matches_separate():
+    """Bodies with different stiffness merge via per-constraint tables
+    (the reference's per-SoftBodySolver tunables)."""
+    import numpy as np
+    from softbodysim_tpu import Engine
+    from softbodysim_tpu.api.scenes import Scene, _params
+    from softbodysim_tpu.core import meshes
+
+    t1 = meshes.tet_cube(2, 2, 2, size=0.4, center=(-0.6, 0.5, 0.0))
+    t2 = meshes.tet_cube(2, 2, 2, size=0.4, center=(0.6, 0.5, 0.0))
+    pa = _params(edge=0.9, vol=0.98)
+    pb = _params(edge=0.3, vol=0.5)
+    scene = Scene(name="mixed", colliders=[],
+                  bodies=[("stiff", t1, pa, {}), ("soft", t2, pb, {})])
+    eng, voffs = scene.build_merged(backend="gather")
+    sep = [Engine(t1, pa.replace(jacobi_backend="gather")),
+           Engine(t2, pb.replace(jacobi_backend="gather"))]
+    for _ in range(20):
+        eng.step(1 / 60)
+        for s in sep:
+            s.step(1 / 60)
+    pos = eng.positions()
+    np.testing.assert_allclose(pos[voffs[0]:voffs[1]], sep[0].positions(),
+                               atol=2e-5)
+    np.testing.assert_allclose(pos[voffs[1]:voffs[2]], sep[1].positions(),
+                               atol=2e-5)
+
+
+def test_merged_rejects_nonstiffness_param_mix():
+    import pytest
+    from softbodysim_tpu.api.scenes import Scene, _params
+    from softbodysim_tpu.core import meshes
+
+    t = meshes.tet_cube(2, 2, 2)
+    scene = Scene(name="bad", colliders=[], bodies=[
+        ("a", t, _params(), {}), ("b", t, _params(omega=1.0), {})])
+    with pytest.raises(ValueError):
+        scene.build_merged()
