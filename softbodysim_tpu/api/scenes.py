@@ -66,11 +66,12 @@ class Scene:
     def build_merged(self, backend: str = "pallas"):
         """TPU-native execution for HEAVY scenes: every body becomes a
         vertex range of ONE merged sim mesh (core/topology.py::
-        merge_topologies) stepped by the single-scene Pallas jacobi passes
-        (kernels/jacobi.py).  Constraints never cross body boundaries, so
-        this is exactly the per-body physics; at BatchTest scale (~88k
-        particles) it beats grouped vmap ~10x because the whole scene is
-        one VMEM-resident particle table.
+        merge_topologies) stepped by the single-scene Pallas passes
+        (kernels/jacobi.py for the jacobi dialect; kernels/sweep.py for
+        xpbd).  Constraints never cross body boundaries, so this is
+        exactly the per-body physics; at BatchTest scale (~88k particles)
+        it beats grouped vmap ~10x because the whole scene is one
+        VMEM-resident particle table.
 
         Bodies may differ in edge/volume stiffness (the reference's
         per-SoftBodySolver tunables become per-constraint stiffness
@@ -83,15 +84,24 @@ class Scene:
         if not self.bodies:
             raise ValueError(f"scene {self.name} has no bodies")
         params0 = self.bodies[0][2]
-        norm0 = params0.replace(edge_stiffness=0.0, volume_stiffness=0.0)
-        if any(p.replace(edge_stiffness=0.0, volume_stiffness=0.0) != norm0
-               for _, _, p, _ in self.bodies):
+        # per-body material tunables merge as per-constraint tables:
+        # stiffness for jacobi, compliance for xpbd
+        kf = (("edge_stiffness", "volume_stiffness")
+              if params0.dialect == "jacobi"
+              else ("edge_compliance", "volume_compliance"))
+
+        def norm(p):
+            return p.replace(**{kf[0]: 0.0, kf[1]: 0.0})
+
+        norm0 = norm(params0)
+        if any(norm(p) != norm0 for _, _, p, _ in self.bodies):
             raise ValueError(
                 "build_merged requires uniform SolverParams (apart from "
-                "edge/volume stiffness, which merge per-constraint)")
-        mixed_k = any(p.edge_stiffness != params0.edge_stiffness
-                      or p.volume_stiffness != params0.volume_stiffness
-                      for _, _, p, _ in self.bodies)
+                f"{kf[0]}/{kf[1]}, which merge per-constraint)")
+        mixed_k = any(
+            getattr(p, kf[0]) != getattr(params0, kf[0])
+            or getattr(p, kf[1]) != getattr(params0, kf[1])
+            for _, _, p, _ in self.bodies)
         densities = {kw.get("density", 1.0) for _, _, _, kw in self.bodies}
         if len(densities) != 1:
             raise ValueError("build_merged requires uniform density")
@@ -103,14 +113,19 @@ class Scene:
                     int(i) + int(voffs[b])
                     for i in np.atleast_1d(kw["pinned"]).tolist())
         cols = Colliders.build(self.colliders) if self.colliders else None
-        params = params0.replace(jacobi_backend=backend)
+        if params0.dialect == "jacobi":
+            params = params0.replace(jacobi_backend=backend)
+            kw_names = ("edge_k", "tet_k")
+        else:
+            params = params0.replace(xpbd_backend=backend)
+            kw_names = ("edge_c", "tet_c")
         solver_kw = {}
         if mixed_k:
-            solver_kw["edge_k"] = np.concatenate([
-                np.full(t.num_edges, p.edge_stiffness, np.float32)
+            solver_kw[kw_names[0]] = np.concatenate([
+                np.full(t.num_edges, getattr(p, kf[0]), np.float32)
                 for _, t, p, _ in self.bodies])
-            solver_kw["tet_k"] = np.concatenate([
-                np.full(t.num_tets, p.volume_stiffness, np.float32)
+            solver_kw[kw_names[1]] = np.concatenate([
+                np.full(t.num_tets, getattr(p, kf[1]), np.float32)
                 for _, t, p, _ in self.bodies])
         eng = Engine(merged, params, colliders=cols,
                      density=densities.pop(),

@@ -581,8 +581,8 @@ def _scatter_slot(xout_ref, w, adds3):
 
 
 def _edge_kernel(alpha_ref, slots_ref, rel_ref, inv_ref, rest_ref,
-                 scale_ref, lam_ref, xin_ref, xout_ref, lamout_ref,
-                 *, S, DMAX, GB):
+                 scale_ref, a_ref, lam_ref, xin_ref, xout_ref, lamout_ref,
+                 *, S, DMAX, GB, PERA):
     s = pl.program_id(0)
 
     @pl.when(s == 0)
@@ -606,8 +606,9 @@ def _edge_kernel(alpha_ref, slots_ref, rel_ref, inv_ref, rest_ref,
         valid = (wsum != 0.0) & (length >= 1e-12)
         c = length - rest_ref[g:g + 1, :]
         lam = lam_ref[g:g + 1, :]
-        denom = wsum + alpha
-        dlam = jnp.where(valid, (-c - alpha * lam)
+        al = alpha * a_ref[g:g + 1, :] if PERA else alpha
+        denom = wsum + al
+        dlam = jnp.where(valid, (-c - al * lam)
                          / jnp.where(denom == 0.0, 1.0, denom), 0.0)
         dlam = dlam * scale_ref[g:g + 1, :]
         nrm = d / jnp.where(length < 1e-12, 1.0, length)
@@ -649,8 +650,8 @@ def _dot3(a, b):
 
 
 def _tet_kernel(alpha_ref, slots_ref, rel_ref, inv_ref, rest_ref,
-                scale_ref, lam_ref, xin_ref, xout_ref, lamout_ref,
-                *, S, DMAX, GB):
+                scale_ref, a_ref, lam_ref, xin_ref, xout_ref, lamout_ref,
+                *, S, DMAX, GB, PERA):
     s = pl.program_id(0)
 
     @pl.when(s == 0)
@@ -681,8 +682,9 @@ def _tet_kernel(alpha_ref, slots_ref, rel_ref, inv_ref, rest_ref,
         vol = _dot3(_cross3(pb - pa, pc - pa), pd - pa) * sixth
         cfn = vol - rest_ref[g:g + 1, :]
         lam = lam_ref[g:g + 1, :]
-        denom = wsum + alpha
-        dlam = jnp.where(valid, (-cfn - alpha * lam)
+        al = alpha * a_ref[g:g + 1, :] if PERA else alpha
+        denom = wsum + al
+        dlam = jnp.where(valid, (-cfn - al * lam)
                          / jnp.where(denom == 0.0, 1.0, denom), 0.0)
         dlam = dlam * scale_ref[g:g + 1, :]
         lamout_ref[g:g + 1, :] = lam + dlam
@@ -756,8 +758,8 @@ def _scatter_super(xout_ref, w, accx, accy, accz):
 
 
 def _edge_kernel_super(alpha_ref, slots_ref, rel_ref, inv_ref, rest_ref,
-                       scale_ref, lam_ref, xin_ref, xout_ref, lamout_ref,
-                       *, S, DMAX, GB):
+                       scale_ref, a_ref, lam_ref, xin_ref, xout_ref,
+                       lamout_ref, *, S, DMAX, GB, PERA):
     s = pl.program_id(0)
 
     @pl.when(s == 0)
@@ -780,8 +782,10 @@ def _edge_kernel_super(alpha_ref, slots_ref, rel_ref, inv_ref, rest_ref,
         valid = (wsum != 0.0) & (length >= 1e-12)
         c = length - rest_ref[sb * 8:sb * 8 + 8, :]
         lam = lam_ref[sb * 8:sb * 8 + 8, :]
-        denom = wsum + alpha
-        dlam = jnp.where(valid, (-c - alpha * lam)
+        # PERA: per-constraint compliance tile; alpha scalar is then 1/dt^2
+        al = alpha * a_ref[sb * 8:sb * 8 + 8, :] if PERA else alpha
+        denom = wsum + al
+        dlam = jnp.where(valid, (-c - al * lam)
                          / jnp.where(denom == 0.0, 1.0, denom), 0.0)
         dlam = dlam * scale_ref[sb * 8:sb * 8 + 8, :]
         lamout_ref[sb * 8:sb * 8 + 8, :] = lam + dlam
@@ -821,8 +825,8 @@ def _cross_c(ax, ay, az, bx, by, bz):
 
 
 def _tet_kernel_super(alpha_ref, slots_ref, rel_ref, inv_ref, rest_ref,
-                      scale_ref, lam_ref, xin_ref, xout_ref, lamout_ref,
-                      *, S, DMAX, GB):
+                      scale_ref, a_ref, lam_ref, xin_ref, xout_ref,
+                      lamout_ref, *, S, DMAX, GB, PERA):
     s = pl.program_id(0)
 
     @pl.when(s == 0)
@@ -864,8 +868,9 @@ def _tet_kernel_super(alpha_ref, slots_ref, rel_ref, inv_ref, rest_ref,
         vol = (gdx * (pdx - pax) + gdy * (pdy - pay) + gdz * (pdz - paz))
         cfn = vol - rest_ref[sb * 8:sb * 8 + 8, :]
         lam = lam_ref[sb * 8:sb * 8 + 8, :]
-        denom = wsum + alpha
-        dlam = jnp.where(valid, (-cfn - alpha * lam)
+        al = alpha * a_ref[sb * 8:sb * 8 + 8, :] if PERA else alpha
+        denom = wsum + al
+        dlam = jnp.where(valid, (-cfn - al * lam)
                          / jnp.where(denom == 0.0, 1.0, denom), 0.0)
         dlam = dlam * scale_ref[sb * 8:sb * 8 + 8, :]
         lamout_ref[sb * 8:sb * 8 + 8, :] = lam + dlam
@@ -908,7 +913,8 @@ def _tet_kernel_super(alpha_ref, slots_ref, rel_ref, inv_ref, rest_ref,
 # Call builders
 # --------------------------------------------------------------------------
 
-def make_sweep(plan, num_windows: int, *, interpret: bool = False):
+def make_sweep(plan, num_windows: int, *, interpret: bool = False,
+               per_constraint_alpha=None):
     """Build ``sweep(x8, lam_packed, alpha, tables) -> (x8, lam_packed)``.
 
     x8 is the (8, Vpad) particle table (rows 0-2 xyz, row 3 inverse mass);
@@ -921,6 +927,10 @@ def make_sweep(plan, num_windows: int, *, interpret: bool = False):
     at 100k-constraint scale the packed plans are >100 MB, and closure-
     captured tables would be lowered as HLO literals (~40 s of trace+lower
     and a ~47 MB cache entry per program, measured).
+
+    per_constraint_alpha: optional (N,) public-order COMPLIANCE per
+    constraint (mixed-material merged scenes).  The traced alpha scalar is
+    then 1/dt^2 -- alpha_i = compliance_i/dt^2 exactly, no approximation.
     """
     S, DMAX = plan.nslots, plan.dmax
     vpad = num_windows * LANES
@@ -952,12 +962,25 @@ def make_sweep(plan, num_windows: int, *, interpret: bool = False):
         data_spec = pl.BlockSpec((gb, LANES), lambda s: (s, 0),
                                  memory_space=pltpu.VMEM)
 
+    pera = per_constraint_alpha is not None
+    sub = 8 if isinstance(plan, SuperPlan) else 1
+    if pera:
+        a_table = pack_lambda(plan, jnp.maximum(
+            jnp.asarray(per_constraint_alpha, jnp.float32), 0.0))
+        a_spec = data_spec
+    else:
+        # unused dummy (kernel never reads it); pinned to block 0
+        a_table = jnp.zeros((gb * sub, LANES), jnp.float32)
+        a_spec = pl.BlockSpec((gb * sub, LANES), lambda s: (0, 0),
+                              memory_space=pltpu.VMEM)
+
     call = pl.pallas_call(
-        functools.partial(kernel, S=S, DMAX=DMAX, GB=gb),
+        functools.partial(kernel, S=S, DMAX=DMAX, GB=gb, PERA=pera),
         grid=(nstep,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda s: (0, 0), memory_space=pltpu.SMEM),
-            slots_spec, rel_spec, inv_spec, data_spec, data_spec, data_spec,
+            slots_spec, rel_spec, inv_spec, data_spec, data_spec, a_spec,
+            data_spec,
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -973,12 +996,14 @@ def make_sweep(plan, num_windows: int, *, interpret: bool = False):
 
     def sweep(x8, lam_packed, alpha, tables):
         alpha2 = jnp.asarray(alpha, jnp.float32).reshape(1, 1)
-        slots, rel, inv, rest, scale = tables
-        return call(alpha2, slots, rel, inv, rest, scale, lam_packed, x8)
+        slots, rel, inv, rest, scale, atab = tables
+        return call(alpha2, slots, rel, inv, rest, scale, atab, lam_packed,
+                    x8)
 
     sweep.tables = (jnp.asarray(plan.slots), jnp.asarray(plan.rel),
                     jnp.asarray(plan.inv), jnp.asarray(plan.rest),
-                    jnp.asarray(plan.scale))
+                    jnp.asarray(plan.scale), a_table)
+    sweep.per_constraint = pera
     return sweep
 
 

@@ -186,7 +186,8 @@ def _vertex_slot_map(num_vertices, constraint_rows, arity, k_c):
 
 
 def make_xpbd_step(topology, params: SolverParams,
-                   colliders: Optional[Colliders] = None):
+                   colliders: Optional[Colliders] = None,
+                   edge_c=None, tet_c=None):
     """Build ``step(state, dt) -> state`` implementing the full PBDServer
     stepper (Sim.cpp:280-305) with colored sweeps.  The returned function is
     pure and jit-friendly; wrap with jax.jit(donate_argnums=0) at the call
@@ -195,6 +196,9 @@ def make_xpbd_step(topology, params: SolverParams,
     ``colliders`` (optional, an extension over the server which only has the
     ground plane) are resolved once per iteration after the ground projection,
     in world space with zero particle radius.
+
+    edge_c / tet_c: optional per-constraint compliance arrays (pallas
+    backend only -- mixed-material merged scenes).
     """
     edges = jnp.asarray(topology.edges, jnp.int32)
     edge_rest = jnp.asarray(topology.edge_rest, jnp.float32)
@@ -228,7 +232,13 @@ def make_xpbd_step(topology, params: SolverParams,
         # VMEM-resident Pallas sweep kernels (kernels/sweep.py); its own
         # module owns layout conversion and the block-synchronous ordering
         from .xpbd_pallas import make_xpbd_pallas_step
-        return make_xpbd_pallas_step(topology, params, colliders)
+        return make_xpbd_pallas_step(topology, params, colliders,
+                                     edge_c=edge_c, tet_c=tet_c)
+    if edge_c is not None or tet_c is not None:
+        raise ValueError(
+            "per-constraint compliance (edge_c/tet_c) requires "
+            "xpbd_backend='pallas' (the colored XLA backends use scalar "
+            "compliance)")
 
     if backend == "gather":
         import numpy as np

@@ -121,13 +121,19 @@ def make_xpbd_pallas_step(topology, params: SolverParams,
                           vertex_order: str = "auto",
                           superblocks: bool = True,
                           slots_cap: Optional[int] = None,
-                          layer_cap: Optional[int] = None):
+                          layer_cap: Optional[int] = None,
+                          edge_c=None, tet_c=None):
     """Build ``step(state, dt, ...) -> state`` on the Pallas sweep kernels.
 
     interpret=None auto-selects Pallas interpreter mode off-TPU (tests run on
     the CPU backend).  The returned function also carries ``step.step_n``:
     ``step_n(state, dt, n) -> state`` runs n steps with the layout/permute
     boundary paid once (the honest multi-step benchmark path).
+
+    edge_c / tet_c: optional (E,)/(T,) per-constraint COMPLIANCE in public
+    constraint order (mixed-material merged scenes).  alpha_i =
+    compliance_i / dt^2 exactly; step-time edge_compliance /
+    volume_compliance overrides then SCALE the tables (default 1.0).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -150,9 +156,11 @@ def make_xpbd_pallas_step(topology, params: SolverParams,
 
     edge_sweep = tet_sweep = None
     if has_edges:
-        edge_sweep = sw.make_sweep(e_plan, nwin, interpret=interpret)
+        edge_sweep = sw.make_sweep(e_plan, nwin, interpret=interpret,
+                                   per_constraint_alpha=edge_c)
     if has_tets:
-        tet_sweep = sw.make_sweep(t_plan, nwin, interpret=interpret)
+        tet_sweep = sw.make_sweep(t_plan, nwin, interpret=interpret,
+                                  per_constraint_alpha=tet_c)
     tables = (edge_sweep.tables if has_edges else (),
               tet_sweep.tables if has_tets else (),
               jnp.asarray(perm), jnp.asarray(old2new))
@@ -276,10 +284,11 @@ def make_xpbd_pallas_step(topology, params: SolverParams,
         if colliders_rt is not None and colliders is None:
             raise ValueError(
                 "runtime colliders require a make-time collider template")
-        ec = _f32(params.edge_compliance if edge_compliance is None
-                  else edge_compliance)
-        vc = _f32(params.volume_compliance if volume_compliance is None
-                  else volume_compliance)
+        # with per-constraint tables the scalars SCALE the tables
+        ec = _f32((1.0 if edge_c is not None else params.edge_compliance)
+                  if edge_compliance is None else edge_compliance)
+        vc = _f32((1.0 if tet_c is not None else params.volume_compliance)
+                  if volume_compliance is None else volume_compliance)
         return ec, vc
 
     def step(state: SimState, dt, edge_compliance=None,

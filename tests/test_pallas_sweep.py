@@ -144,3 +144,52 @@ def test_morton_order_agrees_physically():
     assert np.isfinite(outs[0]).all() and np.isfinite(outs[1]).all()
     assert np.abs(outs[0] - outs[1]).max() < 5e-2
     assert np.abs(outs[0].mean(0) - outs[1].mean(0)).max() < 1e-3
+
+
+def test_per_constraint_compliance_identity():
+    """PERA tables equal to the scalar compliance reproduce the scalar
+    path EXACTLY (same packing, alpha_i = c_i/dt^2 with c_i uniform)."""
+    topo = meshes.tet_cube(3, 3, 3, size=0.5, center=(0.0, 0.4, 0.0))
+    params = SolverParams(dialect="xpbd", substeps=1, iterations=3,
+                          edge_compliance=5e-4, volume_compliance=1e-5)
+    a = make_xpbd_pallas_step(topo, params, interpret=True)
+    b = make_xpbd_pallas_step(
+        topo, params, interpret=True,
+        edge_c=np.full(topo.num_edges, 5e-4, np.float32),
+        tet_c=np.full(topo.num_tets, 1e-5, np.float32))
+    sa = init_state(topo)
+    sb = init_state(topo)
+    for _ in range(6):
+        sa = a(sa, DT)
+        sb = b(sb, DT)
+    np.testing.assert_allclose(np.asarray(sb.x), np.asarray(sa.x),
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(sb.edge_lambda),
+                               np.asarray(sa.edge_lambda), atol=1e-7)
+
+
+def test_merged_xpbd_mixed_compliance_behaves():
+    """An xpbd merged scene with per-body compliance: the compliant body
+    sags measurably more than the near-rigid one under gravity."""
+    from softbodysim_tpu.api.scenes import Scene
+
+    t1 = meshes.tet_cube(3, 3, 2, size=0.5, center=(-0.6, 0.4, 0.0))
+    t2 = meshes.tet_cube(3, 3, 2, size=0.5, center=(0.6, 0.4, 0.0))
+    pa = SolverParams(dialect="xpbd", substeps=1, iterations=3,
+                      edge_compliance=0.0, volume_compliance=0.0)
+    pb = pa.replace(edge_compliance=0.05, volume_compliance=0.05)
+    scene = Scene(name="xmix", colliders=[],
+                  bodies=[("rigid", t1, pa, {}), ("soft", t2, pb, {})])
+    eng, voffs = scene.build_merged()
+    eng.run(20, DT)
+    pos = eng.positions()
+    assert np.isfinite(pos).all()
+
+    def squash(sl, topo):
+        h0 = topo.vertices[:, 1].max() - topo.vertices[:, 1].min()
+        h = pos[sl, 1].max() - pos[sl, 1].min()
+        return h0 - h
+
+    s_rigid = squash(slice(voffs[0], voffs[1]), t1)
+    s_soft = squash(slice(voffs[1], voffs[2]), t2)
+    assert s_soft > s_rigid + 1e-3
