@@ -181,3 +181,16 @@ def test_merged_mixed_stiffness_pallas():
                                atol=2e-5)
     np.testing.assert_allclose(pos[voffs[1]:voffs[2]], sep[1].positions(),
                                atol=2e-5)
+
+
+def test_engine_run_chunking_matches_step_loop():
+    """Engine.run's chunk+remainder execution (RUN_CHUNK bursts through
+    step_n, singles for the tail) is step-for-step identical to .step."""
+    topo = meshes.tet_cube(3, 3, 3, size=0.5, center=(0.0, 0.4, 0.0))
+    a = Engine(topo, _params())
+    b = Engine(topo, _params())
+    a.RUN_CHUNK = 4                      # per-instance: cheap compiles
+    a.run(9, DT)                         # 2 chunks + 1 single
+    for _ in range(9):
+        b.step(DT)
+    np.testing.assert_allclose(a.positions(), b.positions(), atol=1e-6)

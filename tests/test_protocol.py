@@ -93,7 +93,9 @@ def test_remote_world_async_pipeline():
         rw.init(topo.vertices, topo.edges, topo.tets,
                 params=WireParams(substeps=1, iterations=4))
         frames = 0
-        deadline = time.time() + 30.0
+        # generous: the server's first step compiles, and a loaded machine
+        # (parallel pytest) can starve that thread for tens of seconds
+        deadline = time.time() + 120.0
         requested = rw.request_step(DT)
         assert requested
         last = None
