@@ -123,12 +123,20 @@ def make_jacobi_pallas_step(topology, params: SolverParams,
 
     def collide(x8, cols_rt):
         free = x8[3] != 0.0
+        if k_colliders == 0:
+            # ground-only: project directly on the (3, Vpad) row layout --
+            # the (V,3) transpose round trip otherwise costs two full-table
+            # shuffles per iteration
+            p = x8[0:3]
+            d = (jnp.sum(p * ground_normal[:, None], axis=0)
+                 - jnp.dot(ground_normal, ground_point) - radius)
+            pushed = p - ground_normal[:, None] * jnp.minimum(d, 0.0)
+            return x8.at[0:3].set(jnp.where(free, pushed, p))
         p = x8[0:3].T
         if params.ground_enabled:
             p = project_ground_plane(p, radius, ground_point, ground_normal)
-        if k_colliders > 0:
-            p = collide_particles(
-                p, radius, cols_rt if cols_rt is not None else colliders)
+        p = collide_particles(
+            p, radius, cols_rt if cols_rt is not None else colliders)
         return x8.at[0:3].set(jnp.where(free, p.T, x8[0:3]))
 
     def substep(carry, sdt, k_edge, k_vol, omega, cols_rt, e_tabs, t_tabs):
