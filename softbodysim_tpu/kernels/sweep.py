@@ -495,6 +495,71 @@ def rcm_order(num_vertices: int, edges: np.ndarray) -> np.ndarray:
     return out[::-1].copy()           # the *reverse* in RCM
 
 
+def aligned_order(num_vertices: int, edges: np.ndarray,
+                  group_target: int = 2048):
+    """Group-aligned layout for disconnected (multi-body/fragmented)
+    meshes.
+
+    Connected components are greedily grouped (in first-vertex order) into
+    ~group_target-vertex groups; each group is RCM-ordered onto its OWN
+    128-aligned span of the particle table, dead sentinel slots padding
+    the gaps.  Without alignment, packing blocks straddle group boundaries
+    whose windows share nothing, so the slot pool spills.  Measured on the
+    merged BatchTest scene (20 reference bodies, internally fragmented to
+    5990 components): edge fill 0.599 -> 0.670, tet 0.610 -> 0.719 at
+    ~1% dead slots; per-component alignment (no grouping) would waste 10x
+    the table, and true per-BODY groups pack worse than the greedy cut.
+
+    Returns (perm_layout, old2new): perm_layout[slot] is the old vertex id
+    or ``num_vertices`` for dead slots (gather from a zero/pinned sentinel
+    row); old2new[old] is the layout slot.  Returns None for connected
+    meshes (plain orderings apply).
+    """
+    e = np.asarray(edges, np.int64)
+    if len(e) == 0:
+        return None
+    try:
+        from scipy.sparse import coo_matrix
+        from scipy.sparse.csgraph import (connected_components,
+                                          reverse_cuthill_mckee)
+    except ImportError:  # pragma: no cover - scipy is normally present
+        return None
+    A = coo_matrix(
+        (np.ones(len(e) * 2, np.float32),
+         (np.concatenate([e[:, 0], e[:, 1]]),
+          np.concatenate([e[:, 1], e[:, 0]]))),
+        shape=(num_vertices, num_vertices)).tocsr()
+    ncomp, labels = connected_components(A, directed=False)
+    if ncomp <= 1:
+        return None
+    comps = [np.flatnonzero(labels == c) for c in range(ncomp)]
+    comps.sort(key=lambda v: int(v.min()))    # body order from merging
+
+    groups, cur, n = [], [], 0
+    for vs in comps:
+        cur.append(vs)
+        n += len(vs)
+        if n >= group_target:
+            groups.append(np.concatenate(cur))
+            cur, n = [], 0
+    if cur:
+        groups.append(np.concatenate(cur))
+
+    slots = []
+    for group in groups:
+        sub = A[group][:, group]
+        local = reverse_cuthill_mckee(sub).astype(np.int64)
+        slots.append(group[local])
+        pad = -len(group) % LANES
+        if pad:
+            slots.append(np.full(pad, num_vertices, np.int64))
+    perm_layout = np.concatenate(slots)
+    old2new = np.empty(num_vertices, np.int64)
+    live = perm_layout < num_vertices
+    old2new[perm_layout[live]] = np.flatnonzero(live)
+    return perm_layout, old2new
+
+
 def order_vertices(vertices: np.ndarray, edges: np.ndarray,
                    tets: np.ndarray, mode: str = "auto") -> np.ndarray:
     """Choose a vertex permutation (new <- old) minimizing window spread.

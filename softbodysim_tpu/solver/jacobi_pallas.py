@@ -66,13 +66,10 @@ def make_jacobi_pallas_step(topology, params: SolverParams,
     V = topology.num_particles
     has_edges = topology.num_edges > 0
     has_tets = topology.num_tets > 0
-    vpad = -(-V // LANES) * LANES
-    nwin = vpad // LANES
 
-    perm, e_plan, t_plan = _cached_plans(
-        topology, vertex_order, slots_cap, layer_cap, nwin, True)
-    old2new = np.empty_like(perm)
-    old2new[perm] = np.arange(V)
+    perm, old2new, nwin, e_plan, t_plan = _cached_plans(
+        topology, vertex_order, slots_cap, layer_cap, True)
+    vpad = nwin * LANES
 
     edge_pass = tet_pass = None
     if has_edges:
@@ -94,14 +91,18 @@ def make_jacobi_pallas_step(topology, params: SolverParams,
         else np.array([0.0, 1.0, 0.0], np.float32))
     k_colliders = 0 if colliders is None else colliders.count
     do_collide = params.ground_enabled or k_colliders > 0
-    pad = vpad - V
 
     # ---- public <-> internal layout --------------------------------------
+    # perm entries == V are dead slots (tail pad + component-alignment
+    # gaps): they gather a sentinel zero row and stay pinned (w=0).
 
     def to_rows(state: SimState, perm_j):
         def rows3(a):
-            return jnp.pad(a[perm_j], ((0, pad), (0, 0))).T
-        w = jnp.pad(state.inv_mass[perm_j], (0, pad))
+            ap = jnp.concatenate(
+                [a, jnp.zeros((1, a.shape[1]), a.dtype)], axis=0)
+            return ap[perm_j].T
+        w = jnp.concatenate(
+            [state.inv_mass, jnp.zeros((1,), jnp.float32)])[perm_j]
         x8 = jnp.concatenate(
             [rows3(state.x), w[None, :], jnp.zeros((4, vpad), jnp.float32)],
             axis=0)

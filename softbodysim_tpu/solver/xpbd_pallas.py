@@ -38,8 +38,14 @@ LANES = 128
 _PLAN_CACHE: dict = {}
 
 
-def _cached_plans(topology, vertex_order, slots_cap, layer_cap, nwin,
+def _cached_plans(topology, vertex_order, slots_cap, layer_cap,
                   superblocks):
+    """Returns (perm_layout, old2new, nwin, e_plan, t_plan).
+
+    perm_layout is (nwin*128,) with old vertex ids, entries ==
+    num_particles marking dead slots (end padding, and -- for multi-body
+    merged meshes -- component-alignment gaps; see sweep.aligned_order).
+    """
     import weakref
 
     key = (id(topology), vertex_order, slots_cap, layer_cap, superblocks)
@@ -47,15 +53,26 @@ def _cached_plans(topology, vertex_order, slots_cap, layer_cap, nwin,
     if hit is not None:
         return hit
 
+    V = topology.num_particles
     has_edges = topology.num_edges > 0
     has_tets = topology.num_tets > 0
-    perm = sw.order_vertices(
-        topology.vertices,
-        topology.edges if has_edges else None,
-        topology.tets if has_tets else None,
-        mode=vertex_order)                       # new slot -> old id
-    old2new = np.empty_like(perm)
-    old2new[perm] = np.arange(topology.num_particles)
+    aligned = None
+    if vertex_order in ("auto", "aligned") and has_edges:
+        aligned = sw.aligned_order(V, topology.edges)
+    if aligned is not None:
+        perm_layout, old2new = aligned
+    else:
+        perm = sw.order_vertices(
+            topology.vertices,
+            topology.edges if has_edges else None,
+            topology.tets if has_tets else None,
+            mode="auto" if vertex_order == "aligned" else vertex_order)
+        vpad = -(-V // LANES) * LANES
+        perm_layout = np.concatenate(
+            [perm, np.full(vpad - V, V, np.int64)])
+        old2new = np.empty(V, np.int64)
+        old2new[perm] = np.arange(V)
+    nwin = len(perm_layout) // LANES
 
     e_plan = t_plan = None
     if superblocks:
@@ -102,7 +119,7 @@ def _cached_plans(topology, vertex_order, slots_cap, layer_cap, nwin,
                 topology.tet_rest_vol, nwin,
                 slots_cap=scap, layer_cap=layer_cap or 3)
 
-    result = (perm, e_plan, t_plan)
+    result = (perm_layout, old2new, nwin, e_plan, t_plan)
     _PLAN_CACHE[key] = result
     try:
         weakref.finalize(topology, _PLAN_CACHE.pop, key, None)
@@ -146,13 +163,10 @@ def make_xpbd_pallas_step(topology, params: SolverParams,
     V = topology.num_particles
     has_edges = topology.num_edges > 0
     has_tets = topology.num_tets > 0
-    vpad = -(-V // LANES) * LANES
-    nwin = vpad // LANES
 
-    perm, e_plan, t_plan = _cached_plans(
-        topology, vertex_order, slots_cap, layer_cap, nwin, superblocks)
-    old2new = np.empty_like(perm)
-    old2new[perm] = np.arange(V)
+    perm, old2new, nwin, e_plan, t_plan = _cached_plans(
+        topology, vertex_order, slots_cap, layer_cap, superblocks)
+    vpad = nwin * LANES
 
     edge_sweep = tet_sweep = None
     if has_edges:
@@ -167,14 +181,18 @@ def make_xpbd_pallas_step(topology, params: SolverParams,
 
     gravity = jnp.asarray(params.gravity, jnp.float32)
     fr = min(1.0, max(0.0, params.friction))
-    pad = vpad - V
 
     # ---- public <-> internal layout --------------------------------------
+    # perm entries == V are dead slots (tail pad + component-alignment
+    # gaps): they gather a sentinel zero row and stay pinned (w=0).
 
     def to_rows(state: SimState, perm_j):
         def rows3(a):                      # (V,3) -> (3,Vpad), permuted
-            return jnp.pad(a[perm_j], ((0, pad), (0, 0))).T
-        w = jnp.pad(state.inv_mass[perm_j], (0, pad))
+            ap = jnp.concatenate(
+                [a, jnp.zeros((1, a.shape[1]), a.dtype)], axis=0)
+            return ap[perm_j].T
+        w = jnp.concatenate(
+            [state.inv_mass, jnp.zeros((1,), jnp.float32)])[perm_j]
         x8 = jnp.concatenate(
             [rows3(state.x_star), w[None, :],
              jnp.zeros((4, vpad), jnp.float32)], axis=0)
