@@ -231,7 +231,9 @@ def test_pipelined_mode_overlaps_client_work():
     def burst(pipeline, work_s):
         srv = PBDServer(port=0, verbose=False,
                         pipeline=pipeline).start_background().wait_ready()
-        with PBDClient(port=srv.port) as cli:
+        # generous socket timeout: the server's first compile can exceed
+        # 30 s on a loaded machine (parallel pytest)
+        with PBDClient(port=srv.port, timeout=180.0) as cli:
             cli.init(topo.vertices, topo.edges, topo.tets, params=wire)
             cli.step(DT)            # warm the jit
             t0 = _time.perf_counter()
