@@ -1,0 +1,52 @@
+"""Persistent TPU worker: executes job files so the exclusive axon tunnel
+stays owned by ONE process across many experiments.
+
+Usage: python tools/tpu_worker.py  (run from anywhere; jobs in /tmp/tpu_jobs)
+Jobs: write /tmp/tpu_jobs/NNN.py; worker runs them in order (exec in a
+shared namespace that persists across jobs), writes stdout+traceback to
+/tmp/tpu_jobs/NNN.out and touches NNN.done.  Job file named STOP quits.
+"""
+import io
+import os
+import sys
+import time
+import traceback
+import contextlib
+
+JOBS = "/tmp/tpu_jobs"
+os.makedirs(JOBS, exist_ok=True)
+sys.path.insert(0, "/root/repo")
+
+import jax  # noqa: E402  (pre-imported by sitecustomize anyway)
+
+ns = {"jax": jax}
+print("worker up, devices:", jax.devices(), flush=True)
+
+done = set()
+while True:
+    if os.path.exists(os.path.join(JOBS, "STOP")):
+        print("stopping", flush=True)
+        break
+    pending = sorted(
+        f for f in os.listdir(JOBS)
+        if f.endswith(".py") and f not in done
+        and not os.path.exists(os.path.join(JOBS, f[:-3] + ".done")))
+    for f in pending:
+        path = os.path.join(JOBS, f)
+        buf = io.StringIO()
+        t0 = time.time()
+        try:
+            src = open(path).read()
+            with contextlib.redirect_stdout(buf):
+                exec(compile(src, path, "exec"), ns)
+            status = "ok"
+        except Exception:
+            buf.write(traceback.format_exc())
+            status = "error"
+        buf.write(f"\n[{status} in {time.time()-t0:.1f}s]\n")
+        with open(path[:-3] + ".out", "w") as fh:
+            fh.write(buf.getvalue())
+        open(path[:-3] + ".done", "w").close()
+        done.add(f)
+        print(f"{f}: {status}", flush=True)
+    time.sleep(0.5)
