@@ -108,6 +108,17 @@ class Engine:
                     else:
                         self._step_n = lambda s, d: step_n(s, d, chunk)
                 elif self.colliders is not None:
+                    # colliders_rt is part of the step_n contract; a
+                    # backend without it falls back to the per-step loop
+                    # instead of raising TypeError at the first run().
+                    import inspect
+                    sig = inspect.signature(step_n)
+                    if "colliders_rt" not in sig.parameters:
+                        self._step_n_key = None
+                        for _ in range(steps):
+                            self.step(dt)
+                        return self
+
                     def chunked(s, d, c):
                         return step_n(s, d, chunk, colliders_rt=c)
                     self._step_n = jax.jit(chunked, donate_argnums=0)

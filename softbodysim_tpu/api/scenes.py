@@ -83,6 +83,16 @@ class Scene:
 
         if not self.bodies:
             raise ValueError(f"scene {self.name} has no bodies")
+        # Merged execution consumes only these per-body kwargs; anything
+        # else (pin_top_layer, inv_mass_mode, ...) would be silently
+        # dropped and change physics vs per-body Engines -- fail loudly.
+        for name, _, _, kw in self.bodies:
+            extra = set(kw) - {"density", "pinned"}
+            if extra:
+                raise ValueError(
+                    f"build_merged: body {name!r} has unsupported per-body "
+                    f"options {sorted(extra)} (merged execution honors only "
+                    "density/pinned; use build_world for the rest)")
         params0 = self.bodies[0][2]
         # per-body material tunables merge as per-constraint tables:
         # stiffness for jacobi, compliance for xpbd
@@ -147,7 +157,7 @@ def _bunny(center, scale: float = 1.0) -> Topology:
     t = _asset("Bunny-LowPoly_Tet 1.asset")
     if t is None:
         t = meshes.tet_ball(2, 0.3, (0, 0, 0))
-    return _recenter(t, center)
+    return _recenter(t, center, scale)
 
 
 def _ball_small(center, scale: float = 1.0) -> Topology:
@@ -161,7 +171,7 @@ def _ball_large(center, scale: float = 1.0) -> Topology:
     t = _asset("Icosphere.001_Tet.asset")
     if t is None:
         t = meshes.tet_ball(3, 0.4, (0, 0, 0))
-    return _recenter(t, center)
+    return _recenter(t, center, scale)
 
 
 def _default_mesh(center, scale: float = 1.0) -> Topology:

@@ -259,18 +259,21 @@ def build_topology(
     edges = np.asarray(edges, np.int64).reshape(-1, 2)
     surface_tris = np.asarray(surface_tris, np.int64).reshape(-1, 3)
 
-    # rest lengths (Sim.cpp:82-87) and SIGNED rest volumes (Sim.cpp:89-94)
-    edge_rest = np.linalg.norm(
-        vertices[edges[:, 1]] - vertices[edges[:, 0]], axis=1
+    # rest lengths (Sim.cpp:82-87) and SIGNED rest volumes (Sim.cpp:89-94).
+    # All in fp32 with the reference's exact op order (dot = (xx+yy)+zz,
+    # then one fp32 sqrt / divide) so rest quantities agree bit-for-bit
+    # with the C++ build_rest -- the golden-trace tests
+    # (tests/test_golden_ref.py) compare against the compiled reference.
+    d = vertices[edges[:, 1]] - vertices[edges[:, 0]]
+    edge_rest = np.sqrt(
+        (d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1]) + d[:, 2] * d[:, 2]
     ).astype(np.float32)
     p = vertices[tets]
+    cr = np.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0])
+    e3 = p[:, 3] - p[:, 0]
     tet_rest_vol = (
-        np.einsum(
-            "ti,ti->t",
-            np.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0]),
-            p[:, 3] - p[:, 0],
-        )
-        / 6.0
+        ((cr[:, 0] * e3[:, 0] + cr[:, 1] * e3[:, 1]) + cr[:, 2] * e3[:, 2])
+        / np.float32(6.0)
     ).astype(np.float32)
 
     nv = vertices.shape[0]

@@ -22,8 +22,16 @@ import numpy as np
 F = np.float32
 
 
+def _dot3(a, b):
+    """3-vector dot with one rounding per op, matching the C++ ``dot``
+    (PBDServer.h semantics).  np.dot routes through BLAS sdot, which may
+    use FMA (no intermediate rounding) and then disagrees with the
+    compiled reference by 1 ulp -- caught by tests/test_golden_ref.py."""
+    return (a[0] * b[0] + a[1] * b[1]) + a[2] * b[2]
+
+
 def _tet_vol(p0, p1, p2, p3):
-    return np.dot(np.cross(p1 - p0, p2 - p0), p3 - p0) / F(6.0)
+    return _dot3(np.cross(p1 - p0, p2 - p0), p3 - p0) / F(6.0)
 
 
 class XpbdOracle:
@@ -91,7 +99,7 @@ class XpbdOracle:
             if wsum == 0.0:
                 continue
             d = self.x_star[i0] - self.x_star[i1]
-            length = F(np.sqrt(np.dot(d, d)))
+            length = F(np.sqrt(_dot3(d, d)))
             if length < 1e-12:
                 continue
             c = length - self.edge_rest[ei]
@@ -118,8 +126,8 @@ class XpbdOracle:
             gb = np.cross(pc - pa, pd - pa) * F(1.0 / 6.0)
             gc = np.cross(pd - pa, pb - pa) * F(1.0 / 6.0)
             gd = np.cross(pb - pa, pc - pa) * F(1.0 / 6.0)
-            wsum = (wa * np.dot(ga, ga) + wb * np.dot(gb, gb)
-                    + wc * np.dot(gc, gc) + wd * np.dot(gd, gd))
+            wsum = (wa * _dot3(ga, ga) + wb * _dot3(gb, gb)
+                    + wc * _dot3(gc, gc) + wd * _dot3(gd, gd))
             if wsum < 1e-20:
                 continue
             vol = _tet_vol(pa, pb, pc, pd)
