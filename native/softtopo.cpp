@@ -314,7 +314,8 @@ struct SuperPack {
 };
 
 void* st_pack_super(const int64_t* cons, int64_t n, int32_t arity,
-                    int32_t slots_cap, int32_t layer_cap) {
+                    int32_t slots_cap, int32_t layer_cap,
+                    int32_t order_mode) {
   const int32_t LANES = 128;
   auto* sp = new SuperPack();
   sp->arity = arity;
@@ -322,18 +323,40 @@ void* st_pack_super(const int64_t* cons, int64_t n, int32_t arity,
   sp->layer_cap = layer_cap;
   sp->cons.assign(cons, cons + n * arity);
 
-  // stable lexicographic order by window tuple (w0, w1, ..)
+  // Scan order (mirrors kernels/sweep.py::_pack_order):
+  //   0: stable lexicographic by per-role window tuple (round-2 order;
+  //      best on structured meshes where roles are pre-sorted bands)
+  //   1: stable (min window, max window) -- keeps the slot pool a
+  //      slowly-sliding band; measured on the merged BatchTest mesh:
+  //      tets S=8 fill 0.43 -> 0.88 slot-limited.
+  // pack_best tries both and keeps the cheaper plan.
+  auto wminmax = [&](int64_t i) {
+    int64_t lo = cons[i * arity] / LANES, hi = lo;
+    for (int r = 1; r < arity; r++) {
+      int64_t w = cons[i * arity + r] / LANES;
+      lo = std::min(lo, w);
+      hi = std::max(hi, w);
+    }
+    return std::make_pair(lo, hi);
+  };
   std::vector<int64_t> order(n);
   for (int64_t i = 0; i < n; i++) order[i] = i;
-  std::stable_sort(order.begin(), order.end(),
-                   [&](int64_t a, int64_t b) {
-                     for (int r = 0; r < arity; r++) {
-                       int64_t wa = cons[a * arity + r] / LANES;
-                       int64_t wb = cons[b * arity + r] / LANES;
-                       if (wa != wb) return wa < wb;
-                     }
-                     return false;
-                   });
+  if (order_mode == 1) {
+    std::stable_sort(order.begin(), order.end(),
+                     [&](int64_t a, int64_t b) {
+                       return wminmax(a) < wminmax(b);
+                     });
+  } else {
+    std::stable_sort(order.begin(), order.end(),
+                     [&](int64_t a, int64_t b) {
+                       for (int r = 0; r < arity; r++) {
+                         int64_t wa = cons[a * arity + r] / LANES;
+                         int64_t wb = cons[b * arity + r] / LANES;
+                         if (wa != wb) return wa < wb;
+                       }
+                       return false;
+                     });
+  }
 
   std::vector<int64_t> remaining = order;
   std::vector<int64_t> spill;

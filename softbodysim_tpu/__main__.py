@@ -23,11 +23,17 @@ def main(argv=None):
     serve.add_argument("--mode", choices=["serial", "parallel"],
                        default="serial")
     serve.add_argument("--threads", type=int, default=0)
+    serve.add_argument("--view", action="store_true",
+                       help="live browser viewport of the simulated body")
+    serve.add_argument("--view-port", type=int, default=8900)
 
     scene = sub.add_parser("scene", help="run a benchmark scene preset")
     scene.add_argument("name", choices=["sample", "4fumo", "extreme",
                                         "batch"])
     scene.add_argument("--seconds", type=float, default=3.0)
+    scene.add_argument("--view", action="store_true",
+                       help="live browser viewport while the scene runs")
+    scene.add_argument("--view-port", type=int, default=8900)
 
     bench = sub.add_parser("bench", help="throughput benchmark (JSON line)")
     bench.add_argument("--batch", type=int, default=128)
@@ -47,7 +53,8 @@ def main(argv=None):
     if args.cmd == "serve":
         from .api.server import PBDServer
 
-        PBDServer(host=args.host, port=args.port, mode=args.mode).serve_one()
+        PBDServer(host=args.host, port=args.port, mode=args.mode,
+                  view=args.view, view_port=args.view_port).serve_one()
     elif args.cmd == "scene":
         sys.argv = ["scene", "--scene", args.name,
                     "--seconds", str(args.seconds)]
@@ -67,19 +74,52 @@ def main(argv=None):
                 merged, _ = sc.build_merged()
             except ValueError:
                 merged = None
-        eng = merged if merged is not None else sc.build_grouped()
-        # merged engines advance in RUN_CHUNK bursts (one compiled program);
-        # grouped engines dispatch per step
-        burst = eng.RUN_CHUNK if merged is not None else 1
+        viewer = None
+        if args.view and merged is None:
+            # per-body world path: concatenated surfaces, any scene
+            world = sc.build_world()
+            from .render.live import LiveViewer
+
+            tris, off = [], 0
+            for b in world.bodies:
+                tris.append(
+                    np.asarray(b.topology.surface_tris, np.int64) + off)
+                off += b.topology.num_particles
+
+            def world_positions():
+                return np.concatenate(
+                    [b.positions() for b in world.bodies], axis=0)
+
+            viewer = LiveViewer(np.concatenate(tris, 0), world_positions,
+                                port=args.view_port, title=sc.name)
+            print("live viewer at", viewer.url)
+            eng = world
+            burst = 1
+        else:
+            eng = merged if merged is not None else sc.build_grouped()
+            # merged engines advance in RUN_CHUNK bursts (one compiled
+            # program); grouped engines dispatch per step
+            burst = eng.RUN_CHUNK if merged is not None else 1
+            if args.view and merged is not None:
+                from .render.live import LiveViewer
+
+                viewer = LiveViewer(merged.topology.surface_tris,
+                                    merged.positions, port=args.view_port,
+                                    title=sc.name)
+                print("live viewer at", viewer.url)
+                burst = 4                 # smoother frame cadence
 
         def advance():
             if burst > 1:
                 eng.run(burst)
             else:
                 eng.step()
+            if viewer is not None:
+                viewer.publish()
 
+        block = getattr(eng, "block", None) or getattr(eng, "sync")
         advance()
-        eng.block()
+        block()
         t_end = time.time() + args.seconds
         last = time.time()
         frames = 0
@@ -87,14 +127,16 @@ def main(argv=None):
             advance()
             frames += burst
             if time.time() - last >= 1.0:
-                eng.block()
+                block()
                 print(f"[{sc.name}] {frames / (time.time() - last):.1f} "
                       "steps/s")
                 last = time.time()
                 frames = 0
-        eng.block()
+        block()
         if merged is not None:
             min_y = float(eng.positions()[:, 1].min())
+        elif viewer is not None:
+            min_y = float(world_positions()[:, 1].min())
         else:
             min_y = float(min(
                 pos[:, 1].min() for _, pos in eng.positions()))

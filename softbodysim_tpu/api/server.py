@@ -31,7 +31,8 @@ from .engine import Engine
 class PBDServer:
     def __init__(self, host: str = "127.0.0.1", port: int = 7777,
                  mode: str = "serial", verbose: bool = True,
-                 pipeline: bool = False):
+                 pipeline: bool = False, view: bool = False,
+                 view_port: int = 8900):
         self.host = host
         self.port = port
         self.mode = mode
@@ -51,6 +52,11 @@ class PBDServer:
         self._running = False
         self._frames = 0
         self._last_print = time.perf_counter()
+        # live browser viewport (reference: real-time Unity viewport; here a
+        # render/live.py HTTP stream fed per MSG_STEP)
+        self.view = view
+        self.view_port = view_port
+        self._viewer = None
 
     # -- lifecycle --
     def start_background(self) -> "PBDServer":
@@ -92,6 +98,20 @@ class PBDServer:
             self._running = False
             self._log("shut down")
 
+    def _maybe_publish(self, pos):
+        """Feed the live viewport (serve --view): lazily created at the
+        first frame (the surface comes from the INIT'd topology)."""
+        if not self.view or self.engine is None:
+            return
+        if self._viewer is None:
+            from ..render.live import LiveViewer
+
+            self._viewer = LiveViewer(
+                self.engine.topology.surface_tris, None,
+                port=self.view_port, title="PBD1 live")
+            self._log(f"live viewer at {self._viewer.url}")
+        self._viewer.publish(pos)
+
     # -- protocol --
     def _comm_loop(self, client: socket.socket):
         while True:
@@ -126,6 +146,7 @@ class PBDServer:
                     with self.stats.scope("pack"):
                         pos = np.asarray(prev)        # waits only for k-1
                         client.sendall(protocol.pack_positions(pos))
+                    self._maybe_publish(pos)
                 else:
                     with self.stats.scope("step"):
                         self.engine.step(dt)
@@ -133,6 +154,7 @@ class PBDServer:
                     with self.stats.scope("pack"):
                         pos = self.engine.positions()
                         client.sendall(protocol.pack_positions(pos))
+                    self._maybe_publish(pos)
                 self._tick_stats()
             elif msg_type == protocol.MSG_SHUTDOWN:
                 break

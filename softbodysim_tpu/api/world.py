@@ -57,8 +57,9 @@ class World:
         self.max_steps_per_frame = max_steps_per_frame
         self.max_frame_delta_time = max_frame_delta_time
         self.bodies: List[Body] = []
-        self._collider_items: List[dict] = []
+        self._collider_items: List[Optional[dict]] = []
         self._colliders: Optional[Colliders] = None
+        self._collider_capacity = 0
         self._accumulator = 0.0
         self.stats = StepStats()
 
@@ -73,26 +74,71 @@ class World:
         if body in self.bodies:
             self.bodies.remove(body)
 
-    def add_collider(self, item: dict) -> int:
-        """item from Colliders.sphere/box/capsule builders.  Registration
-        changes the collider COUNT -> bodies re-jit (rare, like the
-        reference's collider registration).  Returns the collider index."""
-        self._collider_items.append(item)
-        self._colliders = Colliders.build(self._collider_items)
+    # Dynamic collider buffer: snapshots are padded to a power-of-two
+    # capacity, so adding/removing colliders below capacity is a same-shape
+    # update -- no body re-jits.  Only capacity GROWTH rebinds: the
+    # reference's pow2-grow GPU collider buffer (SoftBodySolver.cs:648-664;
+    # RegisterPrimitiveCollider, SoftBodyManager.cs:122-156).  The
+    # reference starts at 64 slots because a GPU buffer overallocates for
+    # free; here padded slots are real (masked) collide work inside the
+    # jitted step, so the floor is 8 and doubles on demand (a handful of
+    # recompiles on the way up, zero once capacity is reached).
+    COLLIDER_MIN_CAPACITY = 8
+
+    @property
+    def collider_capacity(self) -> int:
+        return self._collider_capacity
+
+    def _snapshot_colliders(self) -> Optional[Colliders]:
+        if not self._collider_items:
+            return None
+        return Colliders.build(self._collider_items,
+                               capacity=self._collider_capacity)
+
+    def _push_colliders(self, grew: bool):
+        self._colliders = self._snapshot_colliders()
         for b in self.bodies:
-            b.bind(self._colliders)
-        return len(self._collider_items) - 1
+            if grew or b.engine is None:
+                b.bind(self._colliders)
+            else:
+                b.engine.colliders = self._colliders
+
+    def add_collider(self, item: dict) -> int:
+        """item from Colliders.sphere/box/capsule builders.  Returns a
+        stable collider id.  Re-jits bodies only when the padded capacity
+        grows (first collider, or count passing a power of two)."""
+        # reuse a tombstone slot if one exists (ids stay stable)
+        try:
+            index = self._collider_items.index(None)
+            self._collider_items[index] = item
+        except ValueError:
+            self._collider_items.append(item)
+            index = len(self._collider_items) - 1
+        count = len(self._collider_items)
+        grew = count > self._collider_capacity
+        if grew:
+            cap = self.COLLIDER_MIN_CAPACITY
+            while cap < count:
+                cap *= 2
+            self._collider_capacity = cap
+        self._push_colliders(grew)
+        return index
+
+    def remove_collider(self, index: int):
+        """Deactivate a collider by id.  The slot becomes a tombstone
+        (inactive, reusable by the next add); shapes are unchanged, so no
+        body recompiles -- mirrors SoftBodyManager.UnregisterPrimitiveCollider
+        (SoftBodyManager.cs:122-156) + the persistent GPU buffer."""
+        self._collider_items[index] = None
+        self._push_colliders(grew=False)
 
     def update_collider(self, index: int, item: dict):
-        """Move/replace a collider's pose without recompiling (the count is
-        unchanged); takes effect at the next step -- per-step snapshot
+        """Move/replace a collider's pose without recompiling (the capacity
+        is unchanged); takes effect at the next step -- per-step snapshot
         semantics (SoftBodyManager.RebuildColliderCache,
         SoftBodyManager.cs:239-261)."""
         self._collider_items[index] = item
-        self._colliders = Colliders.build(self._collider_items)
-        for b in self.bodies:
-            if b.engine is not None:
-                b.engine.colliders = self._colliders
+        self._push_colliders(grew=False)
 
     # -- stepping --
     def step(self, dt: Optional[float] = None, block: bool = False):

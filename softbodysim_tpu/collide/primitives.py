@@ -17,7 +17,7 @@ carrying the pushed positions.
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -53,24 +53,37 @@ class Colliders:
         )
 
     @staticmethod
-    def build(items: Sequence[dict]) -> "Colliders":
-        """items: dicts with keys type, position, rotation (optional), data."""
+    def build(items: Sequence[Optional[dict]],
+              capacity: Optional[int] = None) -> "Colliders":
+        """items: dicts with keys type, position, rotation (optional), data;
+        ``None`` entries are tombstones (inactive slot, id kept stable).
+
+        ``capacity`` pads the arrays with inactive slots: snapshots at the
+        same capacity are shape-identical, so a registry can add/remove
+        colliders below capacity without any recompilation (the dynamic
+        GPU collider buffer of the reference, SoftBodySolver.cs:648-664).
+        """
         k = len(items)
-        typ = np.zeros((k,), np.int32)
-        pos = np.zeros((k, 3), np.float32)
-        rot = np.tile(np.array([0, 0, 0, 1], np.float32), (k, 1))
-        dat = np.zeros((k, 3), np.float32)
+        cap = k if capacity is None else max(int(capacity), k)
+        typ = np.zeros((cap,), np.int32)
+        pos = np.zeros((cap, 3), np.float32)
+        rot = np.tile(np.array([0, 0, 0, 1], np.float32), (cap, 1))
+        dat = np.zeros((cap, 3), np.float32)
+        act = np.zeros((cap,), bool)
         for i, it in enumerate(items):
+            if it is None:
+                continue
             typ[i] = it["type"]
             pos[i] = it["position"]
             if "rotation" in it:
                 rot[i] = it["rotation"]
             d = np.asarray(it["data"], np.float32).ravel()
             dat[i, : d.size] = d
+            act[i] = True
         return Colliders(
             type=jnp.asarray(typ), position=jnp.asarray(pos),
             rotation=jnp.asarray(rot), data=jnp.asarray(dat),
-            active=jnp.ones((k,), bool),
+            active=jnp.asarray(act),
         )
 
     @staticmethod

@@ -90,7 +90,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
         i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
         lib.st_pack_super.restype = voidp
         lib.st_pack_super.argtypes = [i64p, i64, ctypes.c_int32,
-                                      ctypes.c_int32, ctypes.c_int32]
+                                      ctypes.c_int32, ctypes.c_int32,
+                                      ctypes.c_int32]
         lib.st_pack_num_super.restype = i64
         lib.st_pack_num_super.argtypes = [voidp]
         lib.st_pack_dmax.restype = ctypes.c_int32
@@ -170,7 +171,8 @@ def native_voxelize(vertices: np.ndarray, triangles: np.ndarray,
         lib.st_vox_free(h)
 
 
-def native_pack_super(cons: np.ndarray, slots_cap: int, layer_cap: int):
+def native_pack_super(cons: np.ndarray, slots_cap: int, layer_cap: int,
+                      order_mode: int = 1):
     """Native greedy super-block packing (kernels/sweep.pack_superblocks):
     returns (nsup, dmax, slots, rel, inv, perm, scale) or None if the lib is
     unavailable.  Bit-identical to the Python packer (same stable ordering
@@ -180,7 +182,8 @@ def native_pack_super(cons: np.ndarray, slots_cap: int, layer_cap: int):
         return None
     cons = np.ascontiguousarray(cons, np.int64)
     n, arity = cons.shape
-    h = lib.st_pack_super(cons, n, arity, slots_cap, layer_cap)
+    h = lib.st_pack_super(cons, n, arity, slots_cap, layer_cap,
+                          order_mode)
     try:
         nsup = int(lib.st_pack_num_super(h))
         dmax = int(lib.st_pack_dmax(h))

@@ -98,31 +98,31 @@ def _edge_pass_kernel(scal_ref, slots_ref, rel_ref, inv_ref, rest_ref,
         # scenes); the scalar then acts as a runtime multiplier.
         kk = k * k_ref[sb * 8:sb * 8 + 8, :] if PERK else k
         lam = jnp.where(valid, -kk * c / jnp.where(w == 0.0, 1.0, w), 0.0)
-        s0 = lam * a0w / ln
-        s1 = -lam * a1w / ln
-        c0x, c0y, c0z = dx * s0, dy * s0, dz * s0
-        c1x, c1y, c1z = dx * s1, dy * s1, dz * s1
+        # v6 scatter: ONE source per component (n*lam = d*(lam/len)) and a
+        # signed target-side weight -- the endpoint's inverse mass IS the
+        # target lane's w (sublane 3 of the window, read from the frozen
+        # xin snapshot), so per-role source tiles and the role demux
+        # disappear (kernels/sweep.py edge kernel has the derivation).
+        sl = lam / ln
+        sx, sy, sz = dx * sl, dy * sl, dz * sl
         cn = jnp.where(valid, 1.0, 0.0)
 
         for t in range(S):
+            w8 = jnp.broadcast_to(
+                xin_ref[3:4, pl.ds(wins[t] * LANES, LANES)], (8, LANES))
             ax = ay = az = ac = jnp.zeros((8, LANES), jnp.float32)
             for l in range(DMAX):
                 row = ((sb * S + t) * DMAX + l) * 8
                 inv = inv_ref[row:row + 8, :]
                 has = inv >= 0
-                j = jnp.clip(inv, 0, 2 * LANES - 1)
-                role1 = j >= LANES
-                jl = j & (LANES - 1)
-                gx = jnp.where(role1, jnp.take_along_axis(c1x, jl, axis=1),
-                               jnp.take_along_axis(c0x, jl, axis=1))
-                gy = jnp.where(role1, jnp.take_along_axis(c1y, jl, axis=1),
-                               jnp.take_along_axis(c0y, jl, axis=1))
-                gz = jnp.where(role1, jnp.take_along_axis(c1z, jl, axis=1),
-                               jnp.take_along_axis(c0z, jl, axis=1))
+                jl = inv & (LANES - 1)       # -1 -> 127, masked by sf=0
+                sf = jnp.where(has,
+                               jnp.where(inv >= LANES, -1.0, 1.0), 0.0)
+                factor = sf * w8
+                ax = ax + jnp.take_along_axis(sx, jl, axis=1) * factor
+                ay = ay + jnp.take_along_axis(sy, jl, axis=1) * factor
+                az = az + jnp.take_along_axis(sz, jl, axis=1) * factor
                 gc = jnp.take_along_axis(cn, jl, axis=1)  # same either role
-                ax = ax + jnp.where(has, gx, 0.0)
-                ay = ay + jnp.where(has, gy, 0.0)
-                az = az + jnp.where(has, gz, 0.0)
                 ac = ac + jnp.where(has, gc, 0.0)
             _scatter_acc4(xout_ref, wins[t], ax, ay, az, ac)
 
@@ -184,28 +184,30 @@ def _tet_pass_kernel(scal_ref, slots_ref, rel_ref, inv_ref, rest_ref,
             valid, -kk * cfn / jnp.where(wsum == 0.0, 1.0, wsum), 0.0)
 
         sa, sb_, sc, sd = lam * wa, lam * wb, lam * wc, lam * wd
-        one = jnp.float32(1.0)
         comps = (
             (gax * sa, gbx * sb_, gcx * sc, gdx * sd),
             (gay * sa, gby * sb_, gcy * sc, gdy * sd),
             (gaz * sa, gbz * sb_, gcz * sc, gdz * sd),
-            (jnp.where(valid & (wa != 0.0), one, 0.0),
-             jnp.where(valid & (wb != 0.0), one, 0.0),
-             jnp.where(valid & (wc != 0.0), one, 0.0),
-             jnp.where(valid & (wd != 0.0), one, 0.0)),
         )
+        # cnt trick (v6): a corner's count bumps iff the tet is valid AND
+        # that corner's w != 0 -- but the corner IS the scatter target, so
+        # the w test moves to the target side (w8 != 0) and the cnt source
+        # collapses from four per-role tiles to ONE validity tile.
+        validf = jnp.where(valid, 1.0, 0.0)
 
         for t in range(S):
+            wnz = jnp.where(
+                xin_ref[3:4, pl.ds(wins[t] * LANES, LANES)] != 0.0, 1.0, 0.0)
+            wnz8 = jnp.broadcast_to(wnz, (8, LANES))
             accs = [jnp.zeros((8, LANES), jnp.float32) for _ in range(4)]
             for l in range(DMAX):
                 row = ((sb * S + t) * DMAX + l) * 8
                 inv = inv_ref[row:row + 8, :]
                 has = inv >= 0
-                j = jnp.clip(inv, 0, 4 * LANES - 1)
-                hi = j >= 2 * LANES
-                odd = (j & LANES) > 0
-                jl = j & (LANES - 1)
-                for ci in range(4):
+                hi = inv >= 2 * LANES
+                odd = (inv & LANES) > 0
+                jl = inv & (LANES - 1)
+                for ci in range(3):
                     ca, cb, cc, cd = comps[ci]
                     g_ab = jnp.where(odd,
                                      jnp.take_along_axis(cb, jl, axis=1),
@@ -215,6 +217,9 @@ def _tet_pass_kernel(scal_ref, slots_ref, rel_ref, inv_ref, rest_ref,
                                      jnp.take_along_axis(cc, jl, axis=1))
                     pick = jnp.where(hi, g_cd, g_ab)
                     accs[ci] = accs[ci] + jnp.where(has, pick, 0.0)
+                hasf = jnp.where(has, 1.0, 0.0)
+                accs[3] = accs[3] + (jnp.take_along_axis(validf, jl, axis=1)
+                                     * (hasf * wnz8))
             _scatter_acc4(xout_ref, wins[t], accs[0], accs[1], accs[2],
                           accs[3])
 

@@ -87,8 +87,33 @@ class SweepPlan:
         return self.num_blocks * LANES
 
 
+def _pack_order(win: np.ndarray, mode: int = 1) -> np.ndarray:
+    """Greedy-scan order for the packers.
+
+    mode 0: stable lexicographic by per-role window tuple (the round-2
+    order; strong on structured meshes whose roles form pre-sorted bands).
+    mode 1: (min window, max window) ascending -- sorting by per-role
+    windows interleaves constraints whose window SETS differ even when
+    their vertex ranges overlap, so the slot pool exhausts early; the
+    range order keeps the pool a slowly-sliding band.  Measured on the
+    merged BatchTest mesh (slot-limited fill, layers unbounded): edges
+    S=8 0.80 -> 0.99, tets S=8 0.43 -> 0.88.
+
+    Neither dominates (mode 0 wins on tet_cube, mode 1 on the reference
+    Delaunay assets): pack_best packs under both and keeps the cheaper
+    plan by op-count model.
+    """
+    if mode == 0:
+        return np.lexsort(tuple(win[:, r]
+                                for r in reversed(range(win.shape[1]))))
+    wmin = win.min(axis=1)
+    wmax = win.max(axis=1)
+    return np.lexsort((wmax, wmin))
+
+
 def pack_constraints(cons: np.ndarray, rest: np.ndarray, num_windows: int,
-                     *, slots_cap: int = 4, layer_cap: int = 3) -> SweepPlan:
+                     *, slots_cap: int = 4, layer_cap: int = 3,
+                     order_mode: int = 1) -> SweepPlan:
     """Pack constraints into 128-lane blocks with bounded window slots.
 
     Greedy multi-pass: constraints sorted by window tuple fill blocks in
@@ -99,7 +124,7 @@ def pack_constraints(cons: np.ndarray, rest: np.ndarray, num_windows: int,
     n, arity = cons.shape
     win = cons // LANES
 
-    order = np.lexsort(tuple(win[:, r] for r in reversed(range(arity))))
+    order = _pack_order(win, order_mode)
     remaining = list(order)
 
     blocks = []     # list of (slot_list, [constraint ids])
@@ -280,7 +305,8 @@ def _trim_plan(plan):
 
 def pack_superblocks(cons: np.ndarray, rest: np.ndarray, num_windows: int,
                      *, slots_cap: int = 8, layer_cap: int = 2,
-                     use_native: bool = True) -> SuperPlan:
+                     use_native: bool = True,
+                     order_mode: int = 1) -> SuperPlan:
     """Pack constraints into 1024-lane super-blocks (see SuperPlan).
 
     The greedy packer runs in native C++ when the softtopo library is
@@ -293,7 +319,7 @@ def pack_superblocks(cons: np.ndarray, rest: np.ndarray, num_windows: int,
     if use_native:
         from ..core.native import native_pack_super
 
-        packed = native_pack_super(cons, slots_cap, layer_cap)
+        packed = native_pack_super(cons, slots_cap, layer_cap, order_mode)
         if packed is not None:
             nsup, dmax, slots, rel, inv, perm, scale = packed
             rest_p = np.ones((nsup * 8, LANES), np.float32)
@@ -309,7 +335,7 @@ def pack_superblocks(cons: np.ndarray, rest: np.ndarray, num_windows: int,
 
     win = cons // LANES
 
-    order = np.lexsort(tuple(win[:, r] for r in reversed(range(arity))))
+    order = _pack_order(win, order_mode)
     remaining = list(order)
 
     blocks = []   # (slot_list, lanes) where lanes = list of 8 lists of ids
@@ -790,16 +816,21 @@ def _tet_kernel(alpha_ref, slots_ref, rel_ref, inv_ref, rest_ref,
 # --------------------------------------------------------------------------
 
 def _gather_super(xout_ref, wins, rel, S):
-    """rel (8,128) -> ((8,128) x 4): x,y,z,invmass tiles for one role."""
+    """rel (8,128) -> ((8,128) x 4): x,y,z,invmass tiles for one role.
+
+    The lane index (rel & 127) is window-independent, so the shuffle index
+    and the slot id (rel >> 7) are hoisted out of the slot loop; per slot
+    only one compare remains (vs the round-2 subtract/range-test/clip).
+    """
+    lane = rel & (LANES - 1)
+    slot_of = rel >> 7
     ax = ay = az = aw = jnp.zeros((8, LANES), jnp.float32)
     for t in range(S):
         xw = xout_ref[:, pl.ds(wins[t] * LANES, LANES)]
-        relt = rel - t * LANES
-        val = (relt >= 0) & (relt < LANES)
-        cl = jnp.clip(relt, 0, LANES - 1)
+        val = slot_of == t
         for c, acc in enumerate((ax, ay, az, aw)):
             row = jnp.broadcast_to(xw[c:c + 1, :], (8, LANES))
-            g = jnp.take_along_axis(row, cl, axis=1)
+            g = jnp.take_along_axis(row, lane, axis=1)
             if c == 0:
                 ax = jnp.where(val, g, acc)
             elif c == 1:
@@ -858,30 +889,31 @@ def _edge_kernel_super(alpha_ref, slots_ref, rel_ref, inv_ref, rest_ref,
         inv_len = 1.0 / jnp.where(length < 1e-12, 1.0, length)
         nx, ny, nz = dx * inv_len, dy * inv_len, dz * inv_len
         cx, cy, cz = nx * dlam, ny * dlam, nz * dlam
-        cx0, cy0, cz0 = cx * a0w, cy * a0w, cz * a0w
-        cx1, cy1, cz1 = -cx * a1w, -cy * a1w, -cz * a1w
 
         # No pl.when on the slot loop: a conditional branch costs ~50 ns on
         # this chip (measured, PLAN.md round-2 grid) -- more than the masked
         # tile work it would skip.  Unused slots RMW +0 into a real window.
+        #
+        # v6 scatter (round 3): ONE correction source per component (n*dlam)
+        # plus a signed target-side weight factor -- the scattered vertex's
+        # own inverse mass lives at the TARGET lane (sublane 3 of the window
+        # being written), so corr*w needs no per-role source tiles and no
+        # role demux: factor = (+-1 presence) * w_target.  Exactly the old
+        # arithmetic bit-for-bit (the +-1 and w multiplies are exact).
         for t in range(S):
+            w8 = jnp.broadcast_to(
+                xout_ref[3:4, pl.ds(wins[t] * LANES, LANES)], (8, LANES))
             accx = accy = accz = jnp.zeros((8, LANES), jnp.float32)
             for l in range(DMAX):
                 row = ((sb * S + t) * DMAX + l) * 8
                 inv = inv_ref[row:row + 8, :]
-                has = inv >= 0
-                j = jnp.clip(inv, 0, 2 * LANES - 1)
-                role1 = j >= LANES
-                jl = j & (LANES - 1)
-                gx = jnp.where(role1, jnp.take_along_axis(cx1, jl, axis=1),
-                               jnp.take_along_axis(cx0, jl, axis=1))
-                gy = jnp.where(role1, jnp.take_along_axis(cy1, jl, axis=1),
-                               jnp.take_along_axis(cy0, jl, axis=1))
-                gz = jnp.where(role1, jnp.take_along_axis(cz1, jl, axis=1),
-                               jnp.take_along_axis(cz0, jl, axis=1))
-                accx = accx + jnp.where(has, gx, 0.0)
-                accy = accy + jnp.where(has, gy, 0.0)
-                accz = accz + jnp.where(has, gz, 0.0)
+                jl = inv & (LANES - 1)           # -1 -> 127, masked by sf=0
+                sf = jnp.where(inv >= 0,
+                               jnp.where(inv >= LANES, -1.0, 1.0), 0.0)
+                factor = sf * w8
+                accx = accx + jnp.take_along_axis(cx, jl, axis=1) * factor
+                accy = accy + jnp.take_along_axis(cy, jl, axis=1) * factor
+                accz = accz + jnp.take_along_axis(cz, jl, axis=1) * factor
             _scatter_super(xout_ref, wins[t], accx, accy, accz)
 
 
@@ -950,17 +982,18 @@ def _tet_kernel_super(alpha_ref, slots_ref, rel_ref, inv_ref, rest_ref,
             (gaz * sa, gbz * sb_, gcz * sc, gdz * sd),
         )
 
-        # branchless slot loop -- see the edge kernel's note
+        # branchless slot loop -- see the edge kernel's note.  Role bits are
+        # decoded straight off inv (no clip): -1 entries produce garbage
+        # lane/odd/hi but the has-mask kills them.
         for t in range(S):
             accs = [jnp.zeros((8, LANES), jnp.float32) for _ in range(3)]
             for l in range(DMAX):
                 row = ((sb * S + t) * DMAX + l) * 8
                 inv = inv_ref[row:row + 8, :]
                 has = inv >= 0
-                j = jnp.clip(inv, 0, 4 * LANES - 1)
-                hi = j >= 2 * LANES
-                odd = (j & LANES) > 0
-                jl = j & (LANES - 1)
+                hi = inv >= 2 * LANES
+                odd = (inv & LANES) > 0
+                jl = inv & (LANES - 1)
                 for ci in range(3):
                     ca, cb, cc, cd = comps[ci]
                     g_ab = jnp.where(odd,

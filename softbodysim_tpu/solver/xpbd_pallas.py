@@ -87,17 +87,23 @@ def _cached_plans(topology, vertex_order, slots_cap, layer_cap,
         def pack_best(cons, rest, lcap, arity):
             caps = ([slots_cap] if slots_cap is not None else [8, 12, 16])
             best = None
-            for scap in caps:
-                plan = sw.pack_superblocks(cons, rest, nwin, slots_cap=scap,
-                                           layer_cap=layer_cap or lcap)
-                # per-block op model: gathers ~12/(role,slot), scatter tiles
-                # ~15/(slot,layer), ~80 fixed (compute + lam + RMWs)
-                cost = plan.num_super * (12 * arity * scap
-                                         + 15 * scap * plan.dmax + 80)
-                if best is None or cost < best[0]:
-                    best = (cost, plan)
-                if len(cons) / plan.capacity >= 0.6:
-                    break     # dense enough; wider pools only add ops
+            # Try both greedy-scan orders (sweep._pack_order): the per-role
+            # lexicographic order wins on structured meshes, the
+            # (min,max)-window band order on unstructured/fragmented ones.
+            # Packing is seconds of native host work; the op model picks.
+            for order_mode in (1, 0):
+                for scap in caps:
+                    plan = sw.pack_superblocks(
+                        cons, rest, nwin, slots_cap=scap,
+                        layer_cap=layer_cap or lcap, order_mode=order_mode)
+                    # per-block op model: gathers ~12/(role,slot), scatter
+                    # tiles ~15/(slot,layer), ~80 fixed (compute+lam+RMWs)
+                    cost = plan.num_super * (12 * arity * scap
+                                             + 15 * scap * plan.dmax + 80)
+                    if best is None or cost < best[0]:
+                        best = (cost, plan)
+                    if len(cons) / plan.capacity >= 0.6:
+                        break   # dense enough; wider pools only add ops
             return best[1]
 
         if has_edges:

@@ -24,3 +24,25 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+
+import pytest  # noqa: E402
+
+# ---- quick tier (run with `-m quick`, target <5 min) -----------------------
+# The full suite is the gate but costs 30-40 min (interpret-mode Pallas
+# compiles); this smoke tier covers the core physics/topology/IO invariants
+# so they actually get run every session (round-2 VERDICT weak #7).
+_QUICK_FILES = {
+    "test_topology.py", "test_adjacency.py", "test_collide.py",
+    "test_xpbd.py", "test_jacobi.py", "test_io.py", "test_protocol.py",
+    "test_native.py", "test_topology_store.py", "test_unity_assets.py",
+    "test_utils_engine.py", "test_dynamic.py", "test_dynamic_colliders.py",
+    "test_world.py", "test_property_random.py",
+    # test_golden_ref.py marks itself quick (compiled-reference parity)
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        base = os.path.basename(str(item.fspath))
+        if base in _QUICK_FILES and "slow" not in item.keywords:
+            item.add_marker(pytest.mark.quick)
