@@ -45,6 +45,9 @@ def main(argv=None):
     tetra.add_argument("input", help="closed triangle mesh (.obj)")
     tetra.add_argument("-o", "--output", required=True,
                        help="output topology file (.tet.npz)")
+    tetra.add_argument("--no-snap", action="store_true",
+                       help="keep the raw voxel hull (skip the "
+                            "surface-conforming snap)")
     tetra.add_argument("--resolution", type=int, default=12,
                        help="voxels across the longest extent")
 
@@ -152,7 +155,8 @@ def main(argv=None):
         from .core.tetrahedralize import topology_from_obj
         from .io import save_topology
 
-        topo = topology_from_obj(args.input, resolution=args.resolution)
+        topo = topology_from_obj(args.input, resolution=args.resolution,
+                         snap=not args.no_snap)
         save_topology(args.output, topo)
         print(f"{args.input} -> {args.output}: V={topo.num_particles} "
               f"E={topo.num_edges} T={topo.num_tets} "

@@ -36,7 +36,7 @@ _QUICK_FILES = {
     "test_xpbd.py", "test_jacobi.py", "test_io.py", "test_protocol.py",
     "test_native.py", "test_topology_store.py", "test_unity_assets.py",
     "test_utils_engine.py", "test_dynamic.py", "test_dynamic_colliders.py",
-    "test_world.py", "test_property_random.py",
+    "test_world.py", "test_property_random.py", "test_snap.py",
     # test_golden_ref.py marks itself quick (compiled-reference parity)
 }
 

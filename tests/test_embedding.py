@@ -30,17 +30,29 @@ def test_rest_pose_reconstruction_is_exact():
 
 
 def test_attachment_is_local():
-    """The voxel sim mesh is conservative (shrinks inside the surface), so
-    render vertices sit mostly just OUTSIDE it; the embedding must attach
+    """The raw voxel sim mesh is conservative (shrinks inside the surface),
+    so render vertices sit mostly just OUTSIDE it; the embedding must attach
     them to nearby tets with bounded extrapolation weights."""
     verts, tris = _icosphere()
-    topo = topology_from_mesh(verts, tris, cell=0.2)
+    topo = topology_from_mesh(verts, tris, cell=0.2, snap=False)
     emb = embed_mesh(verts, topo.vertices, topo.tets)
     assert emb.inside_fraction > 0.1          # some genuinely inside
     assert np.abs(emb.bary).max() < 8.0       # no wild extrapolation
     # every attached tet's centroid is within a couple of cells
     cent = topo.vertices[topo.tets[emb.tet_id]].mean(axis=1)
     assert np.linalg.norm(cent - verts, axis=1).max() < 0.5
+
+
+def test_attachment_is_tight_on_snapped_mesh():
+    """With the surface-conforming snap (default), the boundary interpolates
+    the input surface, so render vertices sit ON or within a whisker of the
+    sim mesh -- extrapolation stays tiny."""
+    verts, tris = _icosphere()
+    topo = topology_from_mesh(verts, tris, cell=0.2)
+    emb = embed_mesh(verts, topo.vertices, topo.tets)
+    assert np.abs(emb.bary).max() < 3.0
+    cent = topo.vertices[topo.tets[emb.tet_id]].mean(axis=1)
+    assert np.linalg.norm(cent - verts, axis=1).max() < 0.4
 
 
 def test_skinning_follows_deformation():
