@@ -262,6 +262,11 @@ class SuperPlan:
     perm: np.ndarray
     pos_of: np.ndarray
     scale: np.ndarray   # (NSUP*8, LANES) f32 per-lane dlambda under-relaxation
+    # Optional execution grouping (regroup_plan): contiguous block runs that
+    # a kernel can execute with smaller slot/layer caps than the plan-wide
+    # (nslots, dmax).  Tuple of (num_blocks, S_g, D_g) in block order; None
+    # means one full-config kernel over all blocks.
+    groups: Optional[Tuple[Tuple[int, int, int], ...]] = None
 
     @property
     def capacity(self) -> int:
@@ -450,6 +455,126 @@ def pack_superblocks(cons: np.ndarray, rest: np.ndarray, num_windows: int,
         rest=rest_p.reshape(nsup * 8, LANES), perm=perm, pos_of=pos_of,
         scale=scale.reshape(nsup * 8, LANES),
     ))
+
+
+def regroup_plan(plan, *, max_groups: int = 3,
+                 min_blocks: int = 4 * SUBBLOCKS):
+    """Reorder super-blocks into trimmed execution groups.
+
+    The branchless kernels pay full (nslots x dmax) work for every block,
+    but most blocks need less (measured on the north-star mesh: 85% of edge
+    blocks use <=6 of 8 slots, 13% of tet blocks need 1 of 3 layers).  Per-
+    block trimming can't be dynamic (one unrolled kernel body serves every
+    grid step, and a pl.when branch costs ~50 ns -- PLAN.md), but it CAN be
+    static: sort blocks by their required (slots, layers), partition into
+    <=max_groups contiguous runs, and let make_sweep build one kernel per
+    run with that run's caps.  Per-kernel launch overhead inside a jitted
+    program measured ~0 (job 028), so the grouping is ~free.
+
+    Returns a new SuperPlan with permuted block order and ``groups``
+    metadata, or the plan unchanged when grouping wouldn't pay (small
+    plans, uniform occupancy).  Block-synchronous semantics are preserved:
+    the kernels execute the permuted plan's block order sequentially, and
+    ``perm``/``pos_of``/``scale`` are permuted with the blocks, so oracle
+    replays (tests/oracle.py::step_blocks) follow automatically.
+
+    Not applied to the sharded per-device plans (xpbd_pallas_sharded):
+    SPMD requires identical table shapes on every device.
+    """
+    if not isinstance(plan, SuperPlan) or plan.groups is not None:
+        return plan
+    nb, S, D, a = plan.num_super, plan.nslots, plan.dmax, plan.arity
+    if nb < min_blocks:
+        return plan
+
+    occ = plan.inv.reshape(nb, S, D, 8, LANES) >= 0
+    lay = occ.any(axis=(1, 3, 4))                      # (nb, D)
+    d_used = np.where(lay.any(axis=1),
+                      D - np.argmax(lay[:, ::-1], axis=1), 1).astype(np.int64)
+    slt = occ.any(axis=(2, 3, 4))                      # (nb, S)
+    s_occ = np.where(slt.any(axis=1),
+                     S - np.argmax(slt[:, ::-1], axis=1), 1)
+    # the packer also records the used-slot count; gather validity needs
+    # S_g to cover every slot referenced by rel, which is exactly this
+    s_cnt = plan.slots[:, S].astype(np.int64)
+    s_used = np.maximum(np.maximum(s_occ, s_cnt), 1)
+    d_used = np.maximum(d_used, 1)
+
+    def cost(s, d):                    # pack_best's per-block op model
+        return 12 * a * s + 15 * s * d + 80
+
+    catch = (int(s_used.max()), int(d_used.max()))
+    corners = sorted({(int(s), int(d)) for s, d in zip(s_used, d_used)}
+                     | {catch})
+    if len(corners) == 1:
+        return plan
+    # cost of each block under each corner (inf where the corner doesn't
+    # dominate the block's needs)
+    cs = np.array([c[0] for c in corners])
+    cd = np.array([c[1] for c in corners])
+    dom = (cs[None, :] >= s_used[:, None]) & (cd[None, :] >= d_used[:, None])
+    cmat = np.where(dom, np.array([cost(s, d) for s, d in corners])[None, :],
+                    np.inf)
+
+    # pick <=max_groups corners (catch-all always in) minimizing total cost
+    import itertools
+    ci_catch = corners.index(catch)
+    others = [i for i in range(len(corners)) if i != ci_catch]
+    best_cost, best_set = cmat[:, ci_catch].sum(), (ci_catch,)
+    for r in range(1, max_groups):
+        for combo in itertools.combinations(others, r):
+            sel = (ci_catch,) + combo
+            tot = cmat[:, sel].min(axis=1).sum()
+            if tot < best_cost - 1e-9:
+                best_cost, best_set = tot, sel
+    if len(best_set) == 1:
+        return plan
+    # require a real win (>2%) over the single full-config kernel
+    if best_cost > 0.98 * nb * cost(S, D):
+        return plan
+
+    sel = list(best_set)
+    assign = np.array(sel)[np.argmin(cmat[:, sel], axis=1)]   # corner index
+    # group order: catch-all first, the rest by descending config cost
+    gorder = sorted(set(assign.tolist()) | {ci_catch},
+                    key=lambda ci: (ci != ci_catch,
+                                    -cost(*corners[ci]), corners[ci]))
+    members = {ci: list(np.flatnonzero(assign == ci)) for ci in gorder}
+    # round non-catch-all groups down to SUBBLOCKS multiples; remainders go
+    # to the catch-all config (which dominates everything)
+    for ci in gorder:
+        if ci == ci_catch:
+            continue
+        r = len(members[ci]) % SUBBLOCKS
+        if r:
+            members[ci_catch].extend(members[ci][-r:])
+            del members[ci][-r:]
+    gorder = [ci for ci in gorder if members[ci]]
+    if len(gorder) == 1:
+        return plan
+    members[ci_catch].sort()
+
+    order = np.concatenate([np.asarray(members[ci], np.int64)
+                            for ci in gorder])
+    groups = tuple((len(members[ci]),) + corners[ci] for ci in gorder)
+
+    def pb(arr, rows):                 # permute block-major rows
+        return np.ascontiguousarray(
+            arr.reshape(nb, rows, *arr.shape[1:])[order].reshape(arr.shape))
+
+    perm = pb(plan.perm.reshape(nb * 8 * LANES, 1), 8 * LANES).reshape(-1)
+    pos_of = np.full_like(plan.pos_of, -1)
+    valid = perm >= 0
+    pos_of[perm[valid]] = np.flatnonzero(valid)
+
+    return dataclasses.replace(
+        plan,
+        slots=np.ascontiguousarray(plan.slots[order]),
+        rel=pb(plan.rel, a * 8),
+        inv=pb(plan.inv, S * D * 8),
+        rest=pb(plan.rest, 8),
+        scale=pb(plan.scale, 8),
+        perm=perm, pos_of=pos_of, groups=groups)
 
 
 def rcm_order(num_vertices: int, edges: np.ndarray) -> np.ndarray:
@@ -1011,6 +1136,114 @@ def _tet_kernel_super(alpha_ref, slots_ref, rel_ref, inv_ref, rest_ref,
 # Call builders
 # --------------------------------------------------------------------------
 
+def _make_sweep_grouped(plan: SuperPlan, num_windows: int, *,
+                        interpret: bool = False,
+                        per_constraint_alpha=None):
+    """Grouped build: one trimmed pallas_call per execution group.
+
+    Groups run sequentially in block order, threading x8 -- exactly the
+    plan's block-synchronous GS sequence, with each group's kernel unrolled
+    only to that group's (S_g, D_g) caps.  Lambdas travel as per-group
+    stripe arrays (see split_lambda/join_lambda); the caller carries the
+    tuple and joins only at the public boundary.
+    """
+    S, D, a = plan.nslots, plan.dmax, plan.arity
+    nb = plan.num_super
+    vpad = num_windows * LANES
+    kernel = _edge_kernel_super if a == 2 else _tet_kernel_super
+    pera = per_constraint_alpha is not None
+    a_full = (pack_lambda(plan, jnp.maximum(
+        jnp.asarray(per_constraint_alpha, jnp.float32), 0.0))
+        if pera else None)
+    inv5 = plan.inv.reshape(nb, S, D, 8, LANES)
+
+    calls, tabs_all = [], []
+    b0 = 0
+    for nbg, Sg, Dg in plan.groups:
+        b1 = b0 + nbg
+        gb = min(SUBBLOCKS, nbg)
+        nstep = nbg // gb
+        slots_spec = pl.BlockSpec((gb, LANES), lambda s: (s, 0),
+                                  memory_space=pltpu.SMEM)
+        rel_spec = pl.BlockSpec((gb * a * 8, LANES), lambda s: (s, 0),
+                                memory_space=pltpu.VMEM)
+        inv_spec = pl.BlockSpec((gb * Sg * Dg * 8, LANES), lambda s: (s, 0),
+                                memory_space=pltpu.VMEM)
+        data_spec = pl.BlockSpec((gb * 8, LANES), lambda s: (s, 0),
+                                 memory_space=pltpu.VMEM)
+        if pera:
+            atab = a_full[b0 * 8:b1 * 8]
+            a_spec = data_spec
+        else:
+            atab = jnp.zeros((gb * 8, LANES), jnp.float32)
+            a_spec = pl.BlockSpec((gb * 8, LANES), lambda s: (0, 0),
+                                  memory_space=pltpu.VMEM)
+        call = pl.pallas_call(
+            functools.partial(kernel, S=Sg, DMAX=Dg, GB=gb, PERA=pera),
+            grid=(nstep,),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda s: (0, 0),
+                             memory_space=pltpu.SMEM),
+                slots_spec, rel_spec, inv_spec, data_spec, data_spec,
+                a_spec, data_spec,
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                data_spec,
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((8, vpad), jnp.float32),
+                jax.ShapeDtypeStruct((nbg * 8, LANES), jnp.float32),
+            ),
+            interpret=interpret,
+        )
+        calls.append(call)
+        tabs_all.append((
+            jnp.asarray(plan.slots[b0:b1]),
+            jnp.asarray(plan.rel[b0 * a * 8:b1 * a * 8]),
+            jnp.asarray(np.ascontiguousarray(
+                inv5[b0:b1, :Sg, :Dg]).reshape(nbg * Sg * Dg * 8, LANES)),
+            jnp.asarray(plan.rest[b0 * 8:b1 * 8]),
+            jnp.asarray(plan.scale[b0 * 8:b1 * 8]),
+            atab,
+        ))
+        b0 = b1
+
+    def sweep(x8, lam_stripes, alpha, tables):
+        alpha2 = jnp.asarray(alpha, jnp.float32).reshape(1, 1)
+        outs = []
+        for call, tabs, lam_g in zip(calls, tables, lam_stripes):
+            slots, rel, inv, rest, scale, atab = tabs
+            x8, lam_o = call(alpha2, slots, rel, inv, rest, scale, atab,
+                             lam_g, x8)
+            outs.append(lam_o)
+        return x8, tuple(outs)
+
+    sweep.tables = tuple(tabs_all)
+    sweep.per_constraint = pera
+    sweep.grouped = True
+    return sweep
+
+
+def split_lambda(plan, packed: jnp.ndarray):
+    """Packed (lam_rows, LANES) -> per-group stripe tuple (grouped plans)."""
+    if not getattr(plan, "groups", None):
+        return packed
+    stripes, r0 = [], 0
+    for nbg, _, _ in plan.groups:
+        stripes.append(packed[r0:r0 + nbg * 8])
+        r0 += nbg * 8
+    return tuple(stripes)
+
+
+def join_lambda(plan, stripes):
+    """Per-group stripe tuple -> packed (lam_rows, LANES)."""
+    if not isinstance(stripes, tuple):
+        return stripes
+    return jnp.concatenate(list(stripes), axis=0)
+
+
 def make_sweep(plan, num_windows: int, *, interpret: bool = False,
                per_constraint_alpha=None):
     """Build ``sweep(x8, lam_packed, alpha, tables) -> (x8, lam_packed)``.
@@ -1029,7 +1262,14 @@ def make_sweep(plan, num_windows: int, *, interpret: bool = False,
     per_constraint_alpha: optional (N,) public-order COMPLIANCE per
     constraint (mixed-material merged scenes).  The traced alpha scalar is
     then 1/dt^2 -- alpha_i = compliance_i/dt^2 exactly, no approximation.
+
+    Regrouped SuperPlans (regroup_plan) build one trimmed kernel per
+    execution group; lambda then travels as a per-group stripe tuple
+    (split_lambda/join_lambda convert to/from the packed array form).
     """
+    if isinstance(plan, SuperPlan) and plan.groups:
+        return _make_sweep_grouped(plan, num_windows, interpret=interpret,
+                                   per_constraint_alpha=per_constraint_alpha)
     S, DMAX = plan.nslots, plan.dmax
     vpad = num_windows * LANES
     nb = plan.num_super if isinstance(plan, SuperPlan) else plan.num_blocks
@@ -1102,6 +1342,7 @@ def make_sweep(plan, num_windows: int, *, interpret: bool = False,
                     jnp.asarray(plan.inv), jnp.asarray(plan.rest),
                     jnp.asarray(plan.scale), a_table)
     sweep.per_constraint = pera
+    sweep.grouped = False
     return sweep
 
 

@@ -107,11 +107,13 @@ def _cached_plans(topology, vertex_order, slots_cap, layer_cap,
             return best[1]
 
         if has_edges:
-            e_plan = pack_best(old2new[topology.edges.astype(np.int64)],
-                               topology.edge_rest, 2, 2)
+            e_plan = sw.regroup_plan(
+                pack_best(old2new[topology.edges.astype(np.int64)],
+                          topology.edge_rest, 2, 2))
         if has_tets:
-            t_plan = pack_best(old2new[topology.tets.astype(np.int64)],
-                               topology.tet_rest_vol, 3, 4)
+            t_plan = sw.regroup_plan(
+                pack_best(old2new[topology.tets.astype(np.int64)],
+                          topology.tet_rest_vol, 3, 4))
     else:
         scap = 4 if slots_cap is None else slots_cap
         if has_edges:
@@ -202,10 +204,13 @@ def make_xpbd_pallas_step(topology, params: SolverParams,
         x8 = jnp.concatenate(
             [rows3(state.x_star), w[None, :],
              jnp.zeros((4, vpad), jnp.float32)], axis=0)
-        lam_e = (sw.pack_lambda(e_plan, state.edge_lambda)
-                 if has_edges else jnp.zeros((8, LANES), jnp.float32))
-        lam_t = (sw.pack_lambda(t_plan, state.tet_lambda)
-                 if has_tets else jnp.zeros((8, LANES), jnp.float32))
+        # grouped plans carry lambdas as per-group stripe tuples
+        lam_e = (sw.split_lambda(e_plan, sw.pack_lambda(
+            e_plan, state.edge_lambda))
+            if has_edges else jnp.zeros((8, LANES), jnp.float32))
+        lam_t = (sw.split_lambda(t_plan, sw.pack_lambda(
+            t_plan, state.tet_lambda))
+            if has_tets else jnp.zeros((8, LANES), jnp.float32))
         return (x8, rows3(state.x), rows3(state.v), lam_e, lam_t)
 
     def to_public(carry, state: SimState, old2new_j) -> SimState:
@@ -217,10 +222,10 @@ def make_xpbd_pallas_step(topology, params: SolverParams,
         return SimState(
             x=unrows(xp), v=unrows(vv), x_star=unrows(x8[0:3]),
             inv_mass=state.inv_mass,
-            edge_lambda=(sw.unpack_lambda(e_plan, lam_e)
-                         if has_edges else state.edge_lambda),
-            tet_lambda=(sw.unpack_lambda(t_plan, lam_t)
-                        if has_tets else state.tet_lambda),
+            edge_lambda=(sw.unpack_lambda(e_plan, sw.join_lambda(
+                e_plan, lam_e)) if has_edges else state.edge_lambda),
+            tet_lambda=(sw.unpack_lambda(t_plan, sw.join_lambda(
+                t_plan, lam_t)) if has_tets else state.tet_lambda),
         )
 
     # ---- substep pieces (all on row layout) ------------------------------
