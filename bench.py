@@ -31,22 +31,38 @@ def _bench_single(meshes, SolverParams, init_state, make_step, jax,
     params = SolverParams(dialect="xpbd", substeps=8, iterations=iterations,
                           xpbd_backend="pallas")
     step = make_step(topo, params)
-    if getattr(step.step_n, "prejit", False):   # pallas backends pre-jit
-        run = lambda s: step.step_n(s, 1.0 / 60.0, steps)  # noqa: E731
+    if hasattr(step, "run_carry"):
+        # steady-state continuous simulation: the internal layout stays
+        # HBM-resident across calls (the Engine's carry-persistent mode /
+        # the reference's zero-readback GPU path); each timed window has a
+        # carried data dependency on the previous one
+        carry = step.pack_state(init_state(topo))
+        carry = step.run_carry(carry, 1.0 / 60.0, steps)
+        jax.block_until_ready(jax.tree_util.tree_leaves(carry)[0])
+        reps, elapsed = 3, 1e30
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                carry = step.run_carry(carry, 1.0 / 60.0, steps)
+            jax.block_until_ready(jax.tree_util.tree_leaves(carry)[0])
+            elapsed = min(elapsed, (time.perf_counter() - t0) / reps)
     else:
-        run = jax.jit(lambda s: step.step_n(s, 1.0 / 60.0, steps))
-    # the pre-jitted paths donate the state buffers, so feed a fresh state
-    # per call (init cost is negligible vs the 60-step program)
-    out = run(init_state(topo))
-    jax.block_until_ready(out.x)           # compile + warm
-    elapsed = 1e30
-    for _ in range(2):
-        state = init_state(topo)
-        jax.block_until_ready(state.x)
-        t0 = time.perf_counter()
-        out = run(state)
-        jax.block_until_ready(out.x)
-        elapsed = min(elapsed, time.perf_counter() - t0)
+        if getattr(step.step_n, "prejit", False):  # pallas backends pre-jit
+            run = lambda s: step.step_n(s, 1.0 / 60.0, steps)  # noqa: E731
+        else:
+            run = jax.jit(lambda s: step.step_n(s, 1.0 / 60.0, steps))
+        # the pre-jitted paths donate the state buffers, so feed a fresh
+        # state per call (init cost is negligible vs the 60-step program)
+        out = run(init_state(topo))
+        jax.block_until_ready(out.x)       # compile + warm
+        elapsed = 1e30
+        for _ in range(2):
+            state = init_state(topo)
+            jax.block_until_ready(state.x)
+            t0 = time.perf_counter()
+            out = run(state)
+            jax.block_until_ready(out.x)
+            elapsed = min(elapsed, time.perf_counter() - t0)
     per_step = elapsed / steps
     nproj = ((topo.num_edges + topo.num_tets) * params.substeps
              * params.iterations)

@@ -29,7 +29,20 @@ from ..solver import make_step
 
 
 class Engine:
-    """Single-scene simulation engine with a donated-buffer jitted step."""
+    """Single-scene simulation engine with a donated-buffer jitted step.
+
+    Backends exposing a carry API (``pack_state``/``run_carry``/
+    ``unpack_state`` -- the Pallas sweep backend) run in a persistent
+    internal layout: the public state is materialized lazily on access,
+    and the layout/lambda pack boundary is paid once per state transfer
+    instead of once per step call.  This is the TPU analog of the
+    reference's zero-readback GPU render mode (SoftBodySolver.cs:870-904:
+    the renderer pulls solver ComputeBuffers directly; nothing round-trips
+    through the CPU unless explicitly requested).
+    """
+
+    _carry = None
+    _state_stale = False
 
     def __init__(self, topology: Topology, params: SolverParams,
                  colliders: Optional[Colliders] = None,
@@ -51,6 +64,27 @@ class Engine:
                                    **solver_kw)
         self._step = self._wrap(self._raw_step)
 
+    # ---- lazy public state over the carry backends -----------------------
+
+    @property
+    def state(self) -> SimState:
+        if self._carry is not None and self._state_stale:
+            self._state = self._raw_step.unpack_state(self._carry,
+                                                      self._state)
+            self._state_stale = False
+        return self._state
+
+    @state.setter
+    def state(self, s: SimState):
+        self._state = s
+        self._carry = None
+        self._state_stale = False
+
+    def _ensure_carry(self):
+        if self._carry is None:
+            self._carry = self._raw_step.pack_state(self._state)
+            self._state_stale = False
+
     @staticmethod
     def _wrap(raw_step):
         """Jit the solver step -- unless the backend pre-jitted it (Pallas
@@ -69,7 +103,13 @@ class Engine:
         SoftBodyManager.RebuildColliderCache)."""
         if self.colliders is not None and "colliders_rt" not in overrides:
             overrides["colliders_rt"] = self.colliders
-        self.state = self._step(self.state, dt, **overrides)
+        rc = getattr(self._raw_step, "run_carry", None)
+        if rc is not None:
+            self._ensure_carry()
+            self._carry = rc(self._carry, dt, 1, **overrides)
+            self._state_stale = True
+        else:
+            self.state = self._step(self.state, dt, **overrides)
         return self
 
     def update_colliders(self, colliders: Colliders) -> "Engine":
@@ -93,8 +133,19 @@ class Engine:
         (the Pallas backends' ``step_n``) run RUN_CHUNK-step bursts in one
         program, paying their state-layout boundary once per chunk instead
         of per step; the remainder runs as single steps."""
-        step_n = getattr(self._raw_step, "step_n", None)
+        rc = getattr(self._raw_step, "run_carry", None)
         chunk = self.RUN_CHUNK
+        if rc is not None:
+            kw = ({"colliders_rt": self.colliders}
+                  if self.colliders is not None else {})
+            self._ensure_carry()
+            for _ in range(steps // chunk):
+                self._carry = rc(self._carry, dt, chunk, **kw)
+            for _ in range(steps % chunk):
+                self._carry = rc(self._carry, dt, 1, **kw)
+            self._state_stale = True
+            return self
+        step_n = getattr(self._raw_step, "step_n", None)
         if step_n is not None and steps >= chunk:
             key = self.colliders is not None
             if getattr(self, "_step_n_key", None) != key:
@@ -135,9 +186,18 @@ class Engine:
             self.step(dt)
         return self
 
+    def positions_device(self):
+        """Device-side committed positions (V,3); on a carry backend this
+        skips the full lambda-unpack boundary (row gather only)."""
+        if self._carry is not None and self._state_stale:
+            cp = getattr(self._raw_step, "carry_positions", None)
+            if cp is not None:
+                return cp(self._carry)
+        return self.state.x
+
     def positions(self) -> np.ndarray:
         """Committed positions, V x 3 (== MSG_POSITIONS payload)."""
-        return np.asarray(jax.device_get(self.state.x))
+        return np.asarray(jax.device_get(self.positions_device()))
 
     def velocities(self) -> np.ndarray:
         return np.asarray(jax.device_get(self.state.v))
@@ -148,7 +208,10 @@ class Engine:
         return self
 
     def block(self) -> "Engine":
-        jax.block_until_ready(self.state.x)
+        if self._carry is not None and self._state_stale:
+            jax.block_until_ready(jax.tree_util.tree_leaves(self._carry)[0])
+        else:
+            jax.block_until_ready(self._state.x)
         return self
 
     def switch_params(self, params: SolverParams,
@@ -164,6 +227,7 @@ class Engine:
             colliders = self.colliders
         self.params = params
         self.colliders = colliders
+        self.state = self.state       # materialize, then drop the old carry
         self._raw_step = make_step(self.topology, params,
                                    colliders=colliders, **solver_kw)
         self._step = self._wrap(self._raw_step)

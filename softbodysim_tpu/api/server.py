@@ -142,7 +142,7 @@ class PBDServer:
                     with self.stats.scope("step"):
                         self.engine.step(dt)          # async dispatch
                     import jax.numpy as jnp
-                    self._prev_x = jnp.array(self.engine.state.x, copy=True)
+                    self._prev_x = jnp.array(self.engine.positions_device(), copy=True)
                     with self.stats.scope("pack"):
                         pos = np.asarray(prev)        # waits only for k-1
                         client.sendall(protocol.pack_positions(pos))
@@ -184,7 +184,7 @@ class PBDServer:
         self.engine = Engine(topo, params, pinned=init.pinned,
                              inv_mass_mode="tet")
         import jax.numpy as jnp
-        self._prev_x = jnp.array(self.engine.state.x, copy=True)
+        self._prev_x = jnp.array(self.engine.positions_device(), copy=True)
         self._log(
             f"Init received. V={len(init.x0)} E={len(init.edges)} "
             f"T={len(init.tets)} pinned={len(init.pinned)}")
@@ -193,12 +193,12 @@ class PBDServer:
         self._frames += 1
         now = time.perf_counter()
         if now - self._last_print >= 1.0 and self.verbose:
-            st = self.engine.state
+            topo = self.engine.topology
             line = self.stats.report(
                 prefix=f"[PBDServer] Mode={self.mode} "
-                       f"V={st.x.shape[0]} "
-                       f"E={st.edge_lambda.shape[0]} "
-                       f"T={st.tet_lambda.shape[0]} |")
+                       f"V={topo.num_particles} "
+                       f"E={topo.num_edges} "
+                       f"T={topo.num_tets} |")
             print(line, flush=True)
             self._frames = 0
             self._last_print = now

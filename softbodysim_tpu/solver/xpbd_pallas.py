@@ -288,9 +288,7 @@ def make_xpbd_pallas_step(topology, params: SolverParams,
         x8, xp, vv = commit(x8, xp, vv, sdt)
         return (x8, xp, vv, lam_e, lam_t)
 
-    def _run(tables, state, dt, n, ec, vc, cols_rt):
-        e_tabs, t_tabs, perm_j, old2new_j = tables
-        carry = to_rows(state, perm_j)
+    def _run_rows(carry, dt, n, ec, vc, cols_rt, e_tabs, t_tabs):
         ss = max(1, params.substeps)
         sdt = _f32(dt) / ss
         inv_dt2 = jnp.where(sdt > 1e-12, 1.0 / (sdt * sdt), 0.0)
@@ -305,9 +303,64 @@ def make_xpbd_pallas_step(topology, params: SolverParams,
             return c, None
 
         carry, _ = jax.lax.scan(one_step, carry, None, length=n)
+        return carry
+
+    def _run(tables, state, dt, n, ec, vc, cols_rt):
+        e_tabs, t_tabs, perm_j, old2new_j = tables
+        carry = to_rows(state, perm_j)
+        carry = _run_rows(carry, dt, n, ec, vc, cols_rt, e_tabs, t_tabs)
         return to_public(carry, state, old2new_j)
 
     _jit_run = jax.jit(_run, static_argnums=3, donate_argnums=1)
+
+    # ---- carry API: the layout/lambda boundary paid once per RUN ---------
+    # pack_state -> run_carry* -> unpack_state keeps the internal row/packed
+    # layout (x8 rows, per-group lambda stripes) resident in HBM across an
+    # arbitrary number of jitted calls -- the TPU analog of the reference's
+    # zero-readback GPU mode (SoftBodySolver.cs:870-904 renders straight
+    # from solver ComputeBuffers).  carry_positions exposes the committed
+    # positions without the full (lambda-unpacking) boundary.
+
+    def _pack(tables, state):
+        return to_rows(state, tables[2])
+
+    def _run_c(tables, carry, dt, n, ec, vc, cols_rt):
+        return _run_rows(carry, dt, n, ec, vc, cols_rt,
+                         tables[0], tables[1])
+
+    def _unpack(tables, carry, state):
+        return to_public(carry, state, tables[3])
+
+    def _carry_x(tables, carry):
+        return carry[1].T[tables[3]]
+
+    _jit_pack = jax.jit(_pack)
+    _jit_run_c = jax.jit(_run_c, static_argnums=3, donate_argnums=1)
+    _jit_unpack = jax.jit(_unpack)
+    _jit_carry_x = jax.jit(_carry_x)
+
+    def pack_state(state: SimState):
+        """Public state -> internal carry.  Does NOT donate: the caller
+        keeps the state object as the template for unpack_state."""
+        return _jit_pack(tables, state)
+
+    def run_carry(carry, dt, n: int, edge_compliance=None,
+                  volume_compliance=None,
+                  colliders_rt: Optional[Colliders] = None):
+        """n steps on the internal carry (donated); no boundary cost."""
+        ec, vc = _resolve(edge_compliance, volume_compliance, colliders_rt)
+        return _jit_run_c(tables, carry, dt, int(n), ec, vc, colliders_rt)
+
+    def unpack_state(carry, state: SimState) -> SimState:
+        """Carry -> public state.  Does NOT donate the carry: ``state``
+        supplies inv_mass (and lambda placeholders for absent families);
+        stepping can continue from the same carry afterwards."""
+        return _jit_unpack(tables, carry, state)
+
+    def carry_positions(carry):
+        """Committed positions (V,3) straight off the carry (row gather
+        only -- skips the lambda unpack)."""
+        return _jit_carry_x(tables, carry)[:V]
 
     def _resolve(edge_compliance, volume_compliance, colliders_rt):
         if colliders_rt is not None and colliders is None:
@@ -335,6 +388,10 @@ def make_xpbd_pallas_step(topology, params: SolverParams,
     step.step_n = step_n
     step.prejit = True
     step_n.prejit = True
+    step.pack_state = pack_state
+    step.run_carry = run_carry
+    step.unpack_state = unpack_state
+    step.carry_positions = carry_positions
     # the packed plans define the block-synchronous constraint ordering the
     # oracle must replay (perm + per-lane dlambda scale)
     step.block_order = {

@@ -70,3 +70,36 @@ def test_switch_backend_midrun_continuity():
         a.step(DT)
         b.step(DT)
     np.testing.assert_allclose(a.positions(), b.positions(), atol=1e-5)
+
+
+def test_engine_carry_persistent_matches_step_n():
+    """The carry-persistent Engine path (pack once, run_carry chunks, lazy
+    public state) must produce exactly the trajectory of the one-call
+    step_n program, and mid-run positions()/state access must not perturb
+    it (unpack does not donate the carry)."""
+    from softbodysim_tpu.core.state import init_state
+
+    topo = meshes.tet_cube(5, 5, 5, size=0.5, center=(0.0, 0.8, 0.0))
+    params = SolverParams(dialect="xpbd", substeps=2, iterations=2,
+                          xpbd_backend="pallas")
+    eng = Engine(topo, params)
+    assert hasattr(eng._raw_step, "run_carry")
+
+    st = init_state(topo)
+    st = eng._raw_step.step_n(st, DT, 40)
+
+    eng.run(32, DT)                      # one chunk on the carry
+    mid = eng.positions()                # row-gather readback, keeps carry
+    assert np.isfinite(mid).all()
+    _ = eng.state                        # full materialization, keeps carry
+    eng.run(8, DT)                       # remainder via n=1 carry program
+    np.testing.assert_array_equal(eng.positions(), np.asarray(st.x))
+    np.testing.assert_array_equal(np.asarray(eng.state.v), np.asarray(st.v))
+    np.testing.assert_array_equal(np.asarray(eng.state.edge_lambda),
+                                  np.asarray(st.edge_lambda))
+
+    # setting state drops the carry; stepping resumes from the new state
+    eng.state = init_state(topo)
+    assert eng._carry is None
+    eng.step(DT)
+    assert np.isfinite(eng.positions()).all()
