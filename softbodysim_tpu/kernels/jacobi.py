@@ -31,6 +31,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -67,12 +68,26 @@ def _apply_epilogue(xin_ref, xout_ref, omega):
 
 
 def _edge_pass_kernel(scal_ref, slots_ref, rel_ref, inv_ref, rest_ref,
-                      k_ref, xin_ref, xout_ref, *, S, DMAX, NSTEP, GB, PERK):
+                      k_ref, xin_ref, *refs, S, DMAX, NSTEP, GB, PERK,
+                      INIT=True, FINAL=True):
+    # Grouped execution (make_jacobi_pass on a regrouped plan): the
+    # accumulator threads across group kernels -- only the first group
+    # zeroes it (INIT), later groups seed xout from the incoming acc_ref
+    # (aliased to xout, so the copy is an identity in compiled mode), and
+    # only the last group runs the apply epilogue (FINAL).
+    xout_ref = refs[-1]
     s = pl.program_id(0)
 
-    @pl.when(s == 0)
-    def _():
-        xout_ref[:] = jnp.zeros_like(xout_ref)
+    if INIT:
+        @pl.when(s == 0)
+        def _():
+            xout_ref[:] = jnp.zeros_like(xout_ref)
+    else:
+        acc_ref = refs[0]
+
+        @pl.when(s == 0)
+        def _():
+            xout_ref[:] = acc_ref[:]
 
     k = scal_ref[0, 0]
     for sb in range(GB):
@@ -126,18 +141,28 @@ def _edge_pass_kernel(scal_ref, slots_ref, rel_ref, inv_ref, rest_ref,
                 ac = ac + jnp.where(has, gc, 0.0)
             _scatter_acc4(xout_ref, wins[t], ax, ay, az, ac)
 
-    @pl.when(s == NSTEP - 1)
-    def _():
-        _apply_epilogue(xin_ref, xout_ref, scal_ref[0, 1])
+    if FINAL:
+        @pl.when(s == NSTEP - 1)
+        def _():
+            _apply_epilogue(xin_ref, xout_ref, scal_ref[0, 1])
 
 
 def _tet_pass_kernel(scal_ref, slots_ref, rel_ref, inv_ref, rest_ref,
-                     k_ref, xin_ref, xout_ref, *, S, DMAX, NSTEP, GB, PERK):
+                     k_ref, xin_ref, *refs, S, DMAX, NSTEP, GB, PERK,
+                     INIT=True, FINAL=True):
+    xout_ref = refs[-1]
     s = pl.program_id(0)
 
-    @pl.when(s == 0)
-    def _():
-        xout_ref[:] = jnp.zeros_like(xout_ref)
+    if INIT:
+        @pl.when(s == 0)
+        def _():
+            xout_ref[:] = jnp.zeros_like(xout_ref)
+    else:
+        acc_ref = refs[0]
+
+        @pl.when(s == 0)
+        def _():
+            xout_ref[:] = acc_ref[:]
 
     k = scal_ref[0, 0]
     sixth = jnp.float32(1.0 / 6.0)
@@ -223,9 +248,105 @@ def _tet_pass_kernel(scal_ref, slots_ref, rel_ref, inv_ref, rest_ref,
             _scatter_acc4(xout_ref, wins[t], accs[0], accs[1], accs[2],
                           accs[3])
 
-    @pl.when(s == NSTEP - 1)
-    def _():
-        _apply_epilogue(xin_ref, xout_ref, scal_ref[0, 1])
+    if FINAL:
+        @pl.when(s == NSTEP - 1)
+        def _():
+            _apply_epilogue(xin_ref, xout_ref, scal_ref[0, 1])
+
+
+def _make_jacobi_pass_grouped(plan: SuperPlan, num_windows: int, *,
+                              interpret: bool = False,
+                              per_constraint_k=None):
+    """Grouped build: one trimmed pallas_call per execution group
+    (sweep.regroup_plan), threading the (delta, cnt) accumulator table
+    through the group sequence.  Jacobi is snapshot-Jacobi, so group order
+    is irrelevant to the physics -- grouping only trims each kernel's
+    unrolled (S, DMAX) caps to its group's occupancy.  Group 0 zeroes the
+    accumulator, the last group applies the epilogue; intermediate
+    accumulators alias input->output so no extra HBM buffer is allocated.
+    """
+    S, D, a = plan.nslots, plan.dmax, plan.arity
+    nb = plan.num_super
+    vpad = num_windows * LANES
+    kernel = _edge_pass_kernel if a == 2 else _tet_pass_kernel
+    perk = per_constraint_k is not None
+
+    from .sweep import pack_lambda
+
+    k_full = (pack_lambda(plan, jnp.asarray(per_constraint_k, jnp.float32))
+              if perk else None)
+    inv5 = plan.inv.reshape(nb, S, D, 8, LANES)
+
+    calls, tabs_all = [], []
+    b0 = 0
+    ng = len(plan.groups)
+    for gi, (nbg, Sg, Dg) in enumerate(plan.groups):
+        b1 = b0 + nbg
+        gb = min(SUBBLOCKS, nbg)
+        nstep = nbg // gb
+        first, last = gi == 0, gi == ng - 1
+        if perk:
+            ktab = k_full[b0 * 8:b1 * 8]
+            k_spec = pl.BlockSpec((gb * 8, LANES), lambda s: (s, 0),
+                                  memory_space=pltpu.VMEM)
+        else:
+            ktab = jnp.zeros((gb * 8, LANES), jnp.float32)
+            k_spec = pl.BlockSpec((gb * 8, LANES), lambda s: (0, 0),
+                                  memory_space=pltpu.VMEM)
+        in_specs = [
+            pl.BlockSpec((1, 2), lambda s: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((gb, LANES), lambda s: (s, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((gb * a * 8, LANES), lambda s: (s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb * Sg * Dg * 8, LANES), lambda s: (s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb * 8, LANES), lambda s: (s, 0),
+                         memory_space=pltpu.VMEM),
+            k_spec,
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        kwargs = {}
+        if not first:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            kwargs["input_output_aliases"] = {7: 0}
+        call = pl.pallas_call(
+            functools.partial(kernel, S=Sg, DMAX=Dg, NSTEP=nstep, GB=gb,
+                              PERK=perk, INIT=first, FINAL=last),
+            grid=(nstep,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((8, vpad), jnp.float32),
+            interpret=interpret,
+            **kwargs,
+        )
+        calls.append(call)
+        tabs_all.append((
+            jnp.asarray(plan.slots[b0:b1]),
+            jnp.asarray(plan.rel[b0 * a * 8:b1 * a * 8]),
+            jnp.asarray(np.ascontiguousarray(
+                inv5[b0:b1, :Sg, :Dg]).reshape(nbg * Sg * Dg * 8, LANES)),
+            jnp.asarray(plan.rest[b0 * 8:b1 * 8]),
+            ktab,
+        ))
+        b0 = b1
+
+    def jacobi_pass(x8, k, omega, tables):
+        scal = jnp.stack([jnp.asarray(k, jnp.float32),
+                          jnp.asarray(omega, jnp.float32)]).reshape(1, 2)
+        acc = None
+        for gi, (call, tabs) in enumerate(zip(calls, tables)):
+            slots, rel, inv, rest, ktab = tabs
+            if gi == 0:
+                acc = call(scal, slots, rel, inv, rest, ktab, x8)
+            else:
+                acc = call(scal, slots, rel, inv, rest, ktab, x8, acc)
+        return acc
+
+    jacobi_pass.tables = tuple(tabs_all)
+    jacobi_pass.per_constraint = perk
+    jacobi_pass.grouped = True
+    return jacobi_pass
 
 
 def make_jacobi_pass(plan: SuperPlan, num_windows: int, *,
@@ -253,6 +374,10 @@ def make_jacobi_pass(plan: SuperPlan, num_windows: int, *,
     """
     if not isinstance(plan, SuperPlan):
         raise TypeError("jacobi passes require SuperPlan packing")
+    if plan.groups:
+        return _make_jacobi_pass_grouped(
+            plan, num_windows, interpret=interpret,
+            per_constraint_k=per_constraint_k)
     S, DMAX = plan.nslots, plan.dmax
     vpad = num_windows * LANES
     gb = min(SUBBLOCKS, plan.num_super)   # small plans trim below SUBBLOCKS
@@ -306,4 +431,5 @@ def make_jacobi_pass(plan: SuperPlan, num_windows: int, *,
                           jnp.asarray(plan.inv), jnp.asarray(plan.rest),
                           k_table)
     jacobi_pass.per_constraint = perk
+    jacobi_pass.grouped = False
     return jacobi_pass

@@ -81,22 +81,34 @@ def run_curves(topo, params, steps: int, dt: float = 1.0 / 60.0,
     colored: the JAX colored-GS gather backend.
     blocks: the block-synchronous oracle replay of the Pallas sweep plans
     (exact dialect semantics without interpret-mode kernel cost).
+
+    At-scale variants (the scalar replays are O(N) per sweep; these run at
+    native/compiled speed so 100k-constraint meshes are measurable):
+    serial_golden: the compiled reference binary itself
+    (tools/golden_ref/ref_runner.cpp, per-step x+v samples) -- bitwise the
+    'serial' trajectory, at C++ speed.
+    blocks_pallas: the ACTUAL Pallas sweep backend (xpbd_backend='pallas'),
+    one step per record -- the real kernels, not a replay (fast on TPU;
+    interpret-mode off-TPU is only usable for small meshes).
     """
     from ..core.state import init_state
     from ..solver import make_step
     import importlib
     import importlib.util
 
-    def _oracle():
-        # tests/oracle.py is test infrastructure; load it lazily by path so
-        # the package itself carries no test-time import dependency.
+    def _load(name, fname):
+        # tests/*.py are test infrastructure; load lazily by path so the
+        # package itself carries no test-time import dependency.
         import pathlib
         root = pathlib.Path(__file__).resolve().parents[2]
         spec = importlib.util.spec_from_file_location(
-            "softbodysim_oracle", root / "tests" / "oracle.py")
+            name, root / "tests" / fname)
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
         return mod
+
+    def _oracle():
+        return _load("softbodysim_oracle", "oracle.py")
 
     curves: Dict[str, Dict[str, np.ndarray]] = {}
 
@@ -129,6 +141,24 @@ def run_curves(topo, params, steps: int, dt: float = 1.0 / 60.0,
             for _ in range(steps):
                 oracle.step_blocks(dt, edge_blocks=eb, tet_blocks=tb)
                 record(oracle.x, oracle.v, oracle.w)
+        elif ordering == "serial_golden":
+            gr = _load("softbodysim_golden_ref", "golden_ref.py")
+            if not gr.reference_available():
+                raise RuntimeError("reference checkout not available")
+            out = gr.run_reference(topo, params, dt=dt, nsteps=steps,
+                                   sample_every=1, pinned=pinned)
+            w = _oracle().XpbdOracle(topo, params, pinned=pinned).w
+            for x, v in zip(out["samples"], out["vel_samples"]):
+                record(x, v, w)
+        elif ordering == "blocks_pallas":
+            from ..core.state import init_state as _init
+            from ..solver.xpbd_pallas import make_xpbd_pallas_step
+            state = _init(topo, pinned=pinned)
+            w = np.asarray(state.inv_mass)
+            step = make_xpbd_pallas_step(topo, params)
+            for _ in range(steps):
+                state = step(state, dt)
+                record(np.asarray(state.x), np.asarray(state.v), w)
         else:
             raise ValueError(f"unknown ordering {ordering!r}")
 

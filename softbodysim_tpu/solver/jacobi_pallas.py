@@ -165,9 +165,8 @@ def make_jacobi_pallas_step(topology, params: SolverParams,
         vv = jnp.where(free, (x8[0:3] - xp) * inv_dt, 0.0)
         return (x8, vv)
 
-    def _run(tables, state, dt, n, k_edge, k_vol, omega, cols_rt):
-        e_tabs, t_tabs, perm_j, old2new_j = tables
-        carry = to_rows(state, perm_j)
+    def _run_rows(carry, dt, n, k_edge, k_vol, omega, cols_rt,
+                  e_tabs, t_tabs):
         ss = max(1, params.substeps)
         sdt = jnp.asarray(dt, jnp.float32) / ss
 
@@ -179,9 +178,64 @@ def make_jacobi_pallas_step(topology, params: SolverParams,
             return c, None
 
         carry, _ = jax.lax.scan(one_step, carry, None, length=n)
+        return carry
+
+    def _run(tables, state, dt, n, k_edge, k_vol, omega, cols_rt):
+        e_tabs, t_tabs, perm_j, old2new_j = tables
+        carry = to_rows(state, perm_j)
+        carry = _run_rows(carry, dt, n, k_edge, k_vol, omega, cols_rt,
+                          e_tabs, t_tabs)
         return to_public(carry, state, old2new_j)
 
     _jit_run = jax.jit(_run, static_argnums=3, donate_argnums=1)
+
+    # ---- carry API: the layout boundary paid once per transfer -----------
+    # Same contract as solver/xpbd_pallas.py (the jacobi carry is just
+    # (x8, v-rows) -- no lambda state): the Engine keeps the row layout
+    # resident in HBM across step()/run() calls and materializes the
+    # public state lazily.  carry_positions streams committed positions
+    # (one row gather) for render/serve loops.
+
+    def _pack(tables, state):
+        return to_rows(state, tables[2])
+
+    def _run_c(tables, carry, dt, n, k_edge, k_vol, omega, cols_rt):
+        return _run_rows(carry, dt, n, k_edge, k_vol, omega, cols_rt,
+                         tables[0], tables[1])
+
+    def _unpack(tables, carry, state):
+        return to_public(carry, state, tables[3])
+
+    def _carry_x(tables, carry):
+        return carry[0][0:3].T[tables[3]]
+
+    _jit_pack = jax.jit(_pack)
+    _jit_run_c = jax.jit(_run_c, static_argnums=3, donate_argnums=1)
+    _jit_unpack = jax.jit(_unpack)
+    _jit_carry_x = jax.jit(_carry_x)
+
+    def pack_state(state: SimState):
+        """Public state -> internal carry.  Does NOT donate: the caller
+        keeps the state object as the template for unpack_state."""
+        return _jit_pack(tables, state)
+
+    def run_carry(carry, dt, n: int, edge_stiffness=None,
+                  volume_stiffness=None, sor_omega=None,
+                  colliders_rt: Optional[Colliders] = None):
+        """n steps on the internal carry (donated); no boundary cost."""
+        ke, kv, om = _resolve(edge_stiffness, volume_stiffness, sor_omega,
+                              colliders_rt)
+        return _jit_run_c(tables, carry, dt, int(n), ke, kv, om,
+                          colliders_rt)
+
+    def unpack_state(carry, state: SimState) -> SimState:
+        """Carry -> public state.  Does NOT donate the carry: ``state``
+        supplies inv_mass and the (constant) lambda placeholders."""
+        return _jit_unpack(tables, carry, state)
+
+    def carry_positions(carry):
+        """Committed positions (V,3) straight off the carry."""
+        return _jit_carry_x(tables, carry)[:V]
 
     def _resolve(edge_stiffness, volume_stiffness, sor_omega, cols_rt):
         if cols_rt is not None and colliders is None:
@@ -216,4 +270,8 @@ def make_jacobi_pallas_step(topology, params: SolverParams,
     step.step_n = step_n
     step.prejit = True
     step_n.prejit = True
+    step.pack_state = pack_state
+    step.run_carry = run_carry
+    step.unpack_state = unpack_state
+    step.carry_positions = carry_positions
     return step

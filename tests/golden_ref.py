@@ -64,8 +64,8 @@ def run_reference(topo, params, *, dt, nsteps, sample_every=0, pinned=None,
     Returned ``edge_lambda`` / ``tet_lambda`` are mapped back to the original
     constraint ids.
 
-    Returns dict with 'samples' (S, V, 3), 'x', 'v', 'edge_lambda',
-    'tet_lambda' (final state).
+    Returns dict with 'samples' (S, V, 3), 'vel_samples' (S, V, 3), 'x',
+    'v', 'edge_lambda', 'tet_lambda' (final state).
     """
     exe = build_runner()
 
@@ -122,9 +122,14 @@ def run_reference(topo, params, *, dt, nsteps, sample_every=0, pinned=None,
         off += 4 * n
         return arr
 
-    samples = np.stack([take(V * 3).reshape(V, 3)
-                        for _ in range(num_samples)]) \
-        if num_samples else np.zeros((0, V, 3), np.float32)
+    xs_list, vs_list = [], []
+    for _ in range(num_samples):
+        xs_list.append(take(V * 3).reshape(V, 3))
+        vs_list.append(take(V * 3).reshape(V, 3))
+    samples = (np.stack(xs_list) if num_samples
+               else np.zeros((0, V, 3), np.float32))
+    vel_samples = (np.stack(vs_list) if num_samples
+                   else np.zeros((0, V, 3), np.float32))
     x = samples[-1] if num_samples else None
     v = take(V * 3).reshape(V, 3)
     edge_lambda = take(E)
@@ -142,6 +147,7 @@ def run_reference(topo, params, *, dt, nsteps, sample_every=0, pinned=None,
 
     return {
         "samples": samples,
+        "vel_samples": vel_samples,
         "x": x,
         "v": v,
         "edge_lambda": edge_lambda,

@@ -75,3 +75,21 @@ def test_residuals_actually_converge(curves):
     for name, c in curves.items():
         bound = 0.1 if name == "blocks" else 0.05
         assert _tail(c, "edge") < bound, (name, _tail(c, "edge"))
+
+
+def test_serial_golden_matches_serial_oracle():
+    """The at-scale 'serial_golden' ordering (the compiled reference binary,
+    per-step x+v samples) produces the SAME curves as the scalar oracle --
+    it is the same trajectory at C++ speed, which is what makes 100k-scale
+    convergence measurement affordable (PLAN.md records those)."""
+    import golden_ref
+
+    if not golden_ref.reference_available():
+        pytest.skip("reference checkout not mounted")
+    topo = meshes.tet_cube(3, 3, 3, size=0.6, center=(0.0, 0.7, 0.0))
+    params = SolverParams(dialect="xpbd", substeps=2, iterations=6)
+    c = run_curves(topo, params, steps=10,
+                   orderings=("serial", "serial_golden"))
+    for key in ("edge", "tet", "energy"):
+        np.testing.assert_allclose(
+            c["serial_golden"][key], c["serial"][key], rtol=1e-5, atol=1e-9)

@@ -103,3 +103,27 @@ def test_engine_carry_persistent_matches_step_n():
     assert eng._carry is None
     eng.step(DT)
     assert np.isfinite(eng.positions()).all()
+
+
+def test_engine_carry_persistent_jacobi_matches_step_n():
+    """Same carry-persistent contract for the jacobi Pallas backend (its
+    carry is just the (x8, v-rows) pair -- no lambda state)."""
+    from softbodysim_tpu.core.state import init_state
+
+    topo = meshes.tet_cube(5, 5, 5, size=0.5, center=(0.0, 0.8, 0.0))
+    params = SolverParams(dialect="jacobi", substeps=2, iterations=2,
+                          jacobi_backend="pallas", use_pallas="off")
+    eng = Engine(topo, params)
+    assert hasattr(eng._raw_step, "run_carry")
+
+    # the jacobi dialect defaults to density-lumped inverse masses
+    st = init_state(topo, inv_mass_mode="density")
+    st = eng._raw_step.step_n(st, DT, 40)
+
+    eng.run(32, DT)                      # one chunk on the carry
+    mid = eng.positions()                # row-gather readback, keeps carry
+    assert np.isfinite(mid).all()
+    _ = eng.state                        # full materialization, keeps carry
+    eng.run(8, DT)                       # remainder via n=1 carry program
+    np.testing.assert_array_equal(eng.positions(), np.asarray(st.x))
+    np.testing.assert_array_equal(np.asarray(eng.state.v), np.asarray(st.v))

@@ -24,8 +24,11 @@
 //   f32 dt;  u32 nsteps, sampleEvery (0 = final only)
 //   u32 pinned[P];  f32 x0[V*3];  u32 edges[E*2];  u32 tets[T*4]
 // Output (argv[2]):
-//   u32 numSamples; { f32 x[V*3] } * numSamples
+//   u32 numSamples; { f32 x[V*3]; f32 v[V*3] } * numSamples
 //   f32 v[V*3];  f32 edgeLambda[E];  f32 tetLambda[T]
+// (velocities ride along with each position sample so convergence
+// energy curves can be computed from the reference trajectory --
+// perf/convergence.py "serial_golden")
 
 #include "PBDServer.h"
 
@@ -125,7 +128,7 @@ int main(int argc, char** argv) {
 
   SerialStepper stepper;
   perf::StepStats stats{};
-  std::vector<float> xs(size_t(V) * 3);
+  std::vector<float> xs(size_t(V) * 3), vsmp(size_t(V) * 3);
   for (uint32_t step = 1; step <= nsteps; ++step) {
     stepper.step(s, dt, stats);
     if (sampleEvery && step % sampleEvery == 0) {
@@ -133,8 +136,12 @@ int main(int argc, char** argv) {
         xs[i * 3 + 0] = s.x[i].x;
         xs[i * 3 + 1] = s.x[i].y;
         xs[i * 3 + 2] = s.x[i].z;
+        vsmp[i * 3 + 0] = s.v[i].x;
+        vsmp[i * 3 + 1] = s.v[i].y;
+        vsmp[i * 3 + 2] = s.v[i].z;
       }
       write_vec(out, xs);
+      write_vec(out, vsmp);
     }
   }
 
