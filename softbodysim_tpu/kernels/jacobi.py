@@ -256,7 +256,7 @@ def _tet_pass_kernel(scal_ref, slots_ref, rel_ref, inv_ref, rest_ref,
 
 def _make_jacobi_pass_grouped(plan: SuperPlan, num_windows: int, *,
                               interpret: bool = False,
-                              per_constraint_k=None):
+                              per_constraint_k=None, apply: bool = True):
     """Grouped build: one trimmed pallas_call per execution group
     (sweep.regroup_plan), threading the (delta, cnt) accumulator table
     through the group sequence.  Jacobi is snapshot-Jacobi, so group order
@@ -312,7 +312,7 @@ def _make_jacobi_pass_grouped(plan: SuperPlan, num_windows: int, *,
             kwargs["input_output_aliases"] = {7: 0}
         call = pl.pallas_call(
             functools.partial(kernel, S=Sg, DMAX=Dg, NSTEP=nstep, GB=gb,
-                              PERK=perk, INIT=first, FINAL=last),
+                              PERK=perk, INIT=first, FINAL=last and apply),
             grid=(nstep,),
             in_specs=in_specs,
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -350,10 +350,17 @@ def _make_jacobi_pass_grouped(plan: SuperPlan, num_windows: int, *,
 
 
 def make_jacobi_pass(plan: SuperPlan, num_windows: int, *,
-                     interpret: bool = False, per_constraint_k=None):
+                     interpret: bool = False, per_constraint_k=None,
+                     apply: bool = True):
     """Build ``pass(x8, k, omega, tables) -> x8``: one full Jacobi
     gather+apply stage for one constraint family on the (8, Vpad) particle
     table.
+
+    apply=False skips the in-kernel epilogue and returns the RAW
+    accumulator table (rows 0-2 delta, row 3 cnt, rows 4-7 zero) instead
+    of the applied positions -- the sharded path homes ghost-window
+    accumulator strips to their owners and applies omega/cnt on the local
+    shard afterwards (solver/jacobi_pallas_sharded.py).
 
     k is the family stiffness, omega the SOR factor (both traced f32
     scalars).  The pass reads the frozen x8 snapshot, so calling edge and
@@ -377,7 +384,7 @@ def make_jacobi_pass(plan: SuperPlan, num_windows: int, *,
     if plan.groups:
         return _make_jacobi_pass_grouped(
             plan, num_windows, interpret=interpret,
-            per_constraint_k=per_constraint_k)
+            per_constraint_k=per_constraint_k, apply=apply)
     S, DMAX = plan.nslots, plan.dmax
     vpad = num_windows * LANES
     gb = min(SUBBLOCKS, plan.num_super)   # small plans trim below SUBBLOCKS
@@ -401,7 +408,7 @@ def make_jacobi_pass(plan: SuperPlan, num_windows: int, *,
 
     call = pl.pallas_call(
         functools.partial(kernel, S=S, DMAX=DMAX, NSTEP=nstep, GB=gb,
-                          PERK=perk),
+                          PERK=perk, FINAL=apply),
         grid=(nstep,),
         in_specs=[
             pl.BlockSpec((1, 2), lambda s: (0, 0), memory_space=pltpu.SMEM),

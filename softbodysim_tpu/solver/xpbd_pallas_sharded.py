@@ -107,6 +107,172 @@ class _Family:
     packed_rest: list           # per device: (rows*LANES,) f32
 
 
+def build_sharded_family(cons_pub, rest_pub, lcap, *, old2new, wd, D, vpad,
+                         layer_cap, interpret, kernel="xpbd"):
+    """Per-device sub-plans + halo maps for one constraint family.
+
+    Shared by the sharded XPBD sweeps and the sharded Jacobi passes
+    (solver/jacobi_pallas_sharded.py).  kernel="xpbd" folds the
+    cross-device 1/k multiplicity into the per-lane dlambda scale and
+    builds the sweep kernel; kernel="jacobi" builds the accumulator-only
+    pass (apply=False -- the cnt-averaged apply happens on the local
+    shard after ghost accumulators are homed, so no scale is needed)."""
+    cons = old2new[np.asarray(cons_pub, np.int64)]
+    win = cons // LANES
+    owner = win.min(axis=1) // wd
+
+    # device count per vertex -> cross-device dlambda scale (xpbd only)
+    dev_touch = np.zeros((vpad,), np.int64)
+    for d in range(D):
+        mine = cons[owner == d]
+        if len(mine):
+            touched = np.unique(mine.reshape(-1))
+            dev_touch[touched] += 1
+    cross = np.maximum(dev_touch, 1)
+
+    ghost_lists = []
+    plans = []
+    for d in range(D):
+        mine = cons[owner == d]
+        mrest = np.asarray(rest_pub, np.float32)[owner == d]
+        w = mine // LANES
+        own_lo, own_hi = d * wd, (d + 1) * wd
+        gw = np.unique(w[(w < own_lo) | (w >= own_hi)])
+        ghost_lists.append(gw)
+        g_index = {int(g): i for i, g in enumerate(gw)}
+
+        def localize(vv):
+            wv = vv // LANES
+            lane = vv % LANES
+            local_w = np.where(
+                (wv >= own_lo) & (wv < own_hi), wv - own_lo,
+                wd + np.vectorize(lambda x: g_index.get(int(x), 0))(wv))
+            return local_w * LANES + lane
+
+        local = localize(mine) if len(mine) else mine
+        plan = sw.pack_superblocks(
+            local.reshape(-1, cons.shape[1]) if len(mine)
+            else np.zeros((0, cons.shape[1]), np.int64),
+            mrest, wd + max(1, len(gw)),
+            slots_cap=8, layer_cap=layer_cap or lcap)
+        # fold cross-device multiplicity into the per-lane scale
+        if len(mine) and kernel == "xpbd":
+            cmult = cross[mine].max(axis=1).astype(np.float32)
+            live = plan.perm >= 0
+            extra_scale = np.ones_like(plan.scale).reshape(-1)
+            extra_scale[live] = 1.0 / cmult[plan.perm[live]]
+            plan = dataclasses.replace(
+                plan, scale=(plan.scale.reshape(-1) * extra_scale
+                             ).reshape(plan.scale.shape))
+        plans.append((plan, local if len(mine) else mine,
+                      np.flatnonzero(owner == d)))
+
+    arity = cons.shape[1]
+    gmax = max(1, max(len(g) for g in ghost_lists))
+    l2g = []
+    for d, gw in enumerate(ghost_lists):
+        own = np.arange(d * wd, (d + 1) * wd, dtype=np.int64)
+        gpad = np.concatenate(
+            [gw, np.zeros(gmax - len(gw), np.int64)])
+        l2g.append(np.concatenate([own, gpad]))
+    nsup = max(p.num_super for p, _, _ in plans)
+    dmax = max(p.dmax for p, _, _ in plans)
+    padded = []
+    packed_cons, packed_scale, packed_rest = [], [], []
+    for p, local_cons, gids in plans:
+        pp = _pad_plan(p, nsup, dmax)
+        # packed-order local constraint table for the NumPy replay
+        rows = pp.num_super * 8 * 128
+        pc = np.full((rows, arity), -1, np.int64)
+        live = pp.perm >= 0
+        if live.any():
+            pc[live] = local_cons[pp.perm[live]]
+        packed_cons.append(pc)
+        packed_scale.append(pp.scale.reshape(-1).copy())
+        packed_rest.append(pp.rest.reshape(-1).copy())
+        # remap perm: device-local constraint index -> GLOBAL id
+        gperm = pp.perm.copy()
+        if live.any():
+            gperm[live] = gids[pp.perm[live]]
+        pp = dataclasses.replace(pp, perm=gperm)
+        padded.append(pp)
+
+    # exports: own windows other devices need, per device
+    exp_sets = []
+    for d in range(D):
+        need = [g[(g >= d * wd) & (g < (d + 1) * wd)] - d * wd
+                for dd, g in enumerate(ghost_lists) if dd != d]
+        exp_sets.append(np.unique(np.concatenate(need))
+                        if need else np.zeros((0,), np.int64))
+    emax = max(1, max(len(e) for e in exp_sets))
+    export_idx = np.zeros((D, emax), np.int64)
+    for d, e in enumerate(exp_sets):
+        export_idx[d, :len(e)] = e
+    exp_pos = [{int(w): i for i, w in enumerate(e)}
+               for e in exp_sets]
+
+    # ghost gather: ghost i of device d = exported slot of its owner
+    gather_src = np.zeros((D, gmax), np.int64)
+    ghost_mask = np.zeros((D, gmax), bool)
+    for d, gw in enumerate(ghost_lists):
+        for i, g in enumerate(gw):
+            o = int(g) // wd
+            gather_src[d, i] = o * emax + exp_pos[o][int(g) - o * wd]
+            ghost_mask[d, i] = True
+
+    # incoming deltas: for device d, every (src_dev, ghost_pos) whose
+    # ghost window d owns
+    inc = [[] for _ in range(D)]
+    for s, gw in enumerate(ghost_lists):
+        for i, g in enumerate(gw):
+            o = int(g) // wd
+            inc[o].append((s * gmax + i, int(g) - o * wd))
+    imax = max(1, max(len(x) for x in inc))
+    incoming_src = np.zeros((D, imax), np.int64)
+    incoming_tgt = np.zeros((D, imax), np.int64)
+    incoming_mask = np.zeros((D, imax), bool)
+    for d, items in enumerate(inc):
+        for j, (src, tgt) in enumerate(items):
+            incoming_src[d, j] = src
+            incoming_tgt[d, j] = tgt
+            incoming_mask[d, j] = True
+
+    # stacked kernel tables (leading device axis)
+    stack = lambda f: jnp.asarray(np.stack([f(p) for p in padded]))
+    rep = padded[0]
+    if kernel == "xpbd":
+        sweep = sw.make_sweep(rep, wd + gmax, interpret=interpret)
+        atab = sweep.tables[5]
+        tables = (stack(lambda p: p.slots), stack(lambda p: p.rel),
+                  stack(lambda p: p.inv), stack(lambda p: p.rest),
+                  stack(lambda p: p.scale), atab)
+    else:
+        from ..kernels.jacobi import make_jacobi_pass
+
+        sweep = make_jacobi_pass(rep, wd + gmax, interpret=interpret,
+                                 apply=False)
+        ktab = sweep.tables[4]         # dummy (non-PERK) stiffness tile
+        tables = (stack(lambda p: p.slots), stack(lambda p: p.rel),
+                  stack(lambda p: p.inv), stack(lambda p: p.rest), ktab)
+
+    # lambda bookkeeping: device-major flat packed order
+    rows = sw.lam_rows(rep)
+    perm_all = np.stack([p.perm for p in padded])    # (D, rows*LANES)
+    pos_of = np.full((len(cons),), -1, np.int64)
+    flat = perm_all.reshape(-1)
+    live = flat >= 0
+    pos_of[flat[live]] = np.flatnonzero(live)
+
+    return _Family(
+        plans=padded, tables=tables, lam_rows=rows,
+        gather_src=gather_src, ghost_mask=ghost_mask,
+        incoming_src=incoming_src, incoming_tgt=incoming_tgt,
+        incoming_mask=incoming_mask, perm=perm_all, pos_of=pos_of,
+        gmax=gmax, emax=emax, export_idx=export_idx, sweep=sweep,
+        l2g=l2g, packed_cons=packed_cons, packed_scale=packed_scale,
+        packed_rest=packed_rest)
+
+
 def make_xpbd_pallas_sharded_step(topology, params: SolverParams,
                                   mesh: Mesh, axis: str = "model",
                                   *, interpret: Optional[bool] = None,
@@ -158,156 +324,14 @@ def make_xpbd_pallas_sharded_step(topology, params: SolverParams,
     vpad = nwin * LANES
 
     # ---- per-device constraint ownership + ghosts ------------------------
-    def build_family(cons_pub, rest_pub, lcap):
-        cons = old2new[np.asarray(cons_pub, np.int64)]
-        win = cons // LANES
-        owner = win.min(axis=1) // wd
+    def _fam(cons, rest, lcap):
+        return build_sharded_family(
+            cons, rest, lcap, old2new=old2new, wd=wd, D=D, vpad=vpad,
+            layer_cap=layer_cap, interpret=interpret, kernel="xpbd")
 
-        # device count per vertex -> cross-device dlambda scale
-        dev_touch = np.zeros((vpad,), np.int64)
-        for d in range(D):
-            mine = cons[owner == d]
-            if len(mine):
-                touched = np.unique(mine.reshape(-1))
-                dev_touch[touched] += 1
-        cross = np.maximum(dev_touch, 1)
-
-        ghost_lists = []
-        plans = []
-        for d in range(D):
-            mine = cons[owner == d]
-            mrest = np.asarray(rest_pub, np.float32)[owner == d]
-            w = mine // LANES
-            own_lo, own_hi = d * wd, (d + 1) * wd
-            gw = np.unique(w[(w < own_lo) | (w >= own_hi)])
-            ghost_lists.append(gw)
-            g_index = {int(g): i for i, g in enumerate(gw)}
-
-            def localize(vv):
-                wv = vv // LANES
-                lane = vv % LANES
-                local_w = np.where(
-                    (wv >= own_lo) & (wv < own_hi), wv - own_lo,
-                    wd + np.vectorize(lambda x: g_index.get(int(x), 0))(wv))
-                return local_w * LANES + lane
-
-            local = localize(mine) if len(mine) else mine
-            plan = sw.pack_superblocks(
-                local.reshape(-1, cons.shape[1]) if len(mine)
-                else np.zeros((0, cons.shape[1]), np.int64),
-                mrest, wd + max(1, len(gw)),
-                slots_cap=8, layer_cap=layer_cap or lcap)
-            # fold cross-device multiplicity into the per-lane scale
-            if len(mine):
-                cmult = cross[mine].max(axis=1).astype(np.float32)
-                live = plan.perm >= 0
-                extra_scale = np.ones_like(plan.scale).reshape(-1)
-                extra_scale[live] = 1.0 / cmult[plan.perm[live]]
-                plan = dataclasses.replace(
-                    plan, scale=(plan.scale.reshape(-1) * extra_scale
-                                 ).reshape(plan.scale.shape))
-            plans.append((plan, local if len(mine) else mine,
-                          np.flatnonzero(owner == d)))
-
-        arity = cons.shape[1]
-        gmax = max(1, max(len(g) for g in ghost_lists))
-        l2g = []
-        for d, gw in enumerate(ghost_lists):
-            own = np.arange(d * wd, (d + 1) * wd, dtype=np.int64)
-            gpad = np.concatenate(
-                [gw, np.zeros(gmax - len(gw), np.int64)])
-            l2g.append(np.concatenate([own, gpad]))
-        nsup = max(p.num_super for p, _, _ in plans)
-        dmax = max(p.dmax for p, _, _ in plans)
-        padded = []
-        packed_cons, packed_scale, packed_rest = [], [], []
-        for p, local_cons, gids in plans:
-            pp = _pad_plan(p, nsup, dmax)
-            # packed-order local constraint table for the NumPy replay
-            rows = pp.num_super * 8 * 128
-            pc = np.full((rows, arity), -1, np.int64)
-            live = pp.perm >= 0
-            if live.any():
-                pc[live] = local_cons[pp.perm[live]]
-            packed_cons.append(pc)
-            packed_scale.append(pp.scale.reshape(-1).copy())
-            packed_rest.append(pp.rest.reshape(-1).copy())
-            # remap perm: device-local constraint index -> GLOBAL id
-            gperm = pp.perm.copy()
-            if live.any():
-                gperm[live] = gids[pp.perm[live]]
-            pp = dataclasses.replace(pp, perm=gperm)
-            padded.append(pp)
-
-        # exports: own windows other devices need, per device
-        exp_sets = []
-        for d in range(D):
-            need = [g[(g >= d * wd) & (g < (d + 1) * wd)] - d * wd
-                    for dd, g in enumerate(ghost_lists) if dd != d]
-            exp_sets.append(np.unique(np.concatenate(need))
-                            if need else np.zeros((0,), np.int64))
-        emax = max(1, max(len(e) for e in exp_sets))
-        export_idx = np.zeros((D, emax), np.int64)
-        for d, e in enumerate(exp_sets):
-            export_idx[d, :len(e)] = e
-        exp_pos = [{int(w): i for i, w in enumerate(e)}
-                   for e in exp_sets]
-
-        # ghost gather: ghost i of device d = exported slot of its owner
-        gather_src = np.zeros((D, gmax), np.int64)
-        ghost_mask = np.zeros((D, gmax), bool)
-        for d, gw in enumerate(ghost_lists):
-            for i, g in enumerate(gw):
-                o = int(g) // wd
-                gather_src[d, i] = o * emax + exp_pos[o][int(g) - o * wd]
-                ghost_mask[d, i] = True
-
-        # incoming deltas: for device d, every (src_dev, ghost_pos) whose
-        # ghost window d owns
-        inc = [[] for _ in range(D)]
-        for s, gw in enumerate(ghost_lists):
-            for i, g in enumerate(gw):
-                o = int(g) // wd
-                inc[o].append((s * gmax + i, int(g) - o * wd))
-        imax = max(1, max(len(x) for x in inc))
-        incoming_src = np.zeros((D, imax), np.int64)
-        incoming_tgt = np.zeros((D, imax), np.int64)
-        incoming_mask = np.zeros((D, imax), bool)
-        for d, items in enumerate(inc):
-            for j, (src, tgt) in enumerate(items):
-                incoming_src[d, j] = src
-                incoming_tgt[d, j] = tgt
-                incoming_mask[d, j] = True
-
-        # stacked kernel tables (leading device axis)
-        stack = lambda f: jnp.asarray(np.stack([f(p) for p in padded]))
-        rep = padded[0]
-        sweep = sw.make_sweep(rep, wd + gmax, interpret=interpret)
-        atab = sweep.tables[5]
-        tables = (stack(lambda p: p.slots), stack(lambda p: p.rel),
-                  stack(lambda p: p.inv), stack(lambda p: p.rest),
-                  stack(lambda p: p.scale), atab)
-
-        # lambda bookkeeping: device-major flat packed order
-        rows = sw.lam_rows(rep)
-        perm_all = np.stack([p.perm for p in padded])    # (D, rows*LANES)
-        pos_of = np.full((len(cons),), -1, np.int64)
-        flat = perm_all.reshape(-1)
-        live = flat >= 0
-        pos_of[flat[live]] = np.flatnonzero(live)
-
-        return _Family(
-            plans=padded, tables=tables, lam_rows=rows,
-            gather_src=gather_src, ghost_mask=ghost_mask,
-            incoming_src=incoming_src, incoming_tgt=incoming_tgt,
-            incoming_mask=incoming_mask, perm=perm_all, pos_of=pos_of,
-            gmax=gmax, emax=emax, export_idx=export_idx, sweep=sweep,
-            l2g=l2g, packed_cons=packed_cons, packed_scale=packed_scale,
-            packed_rest=packed_rest)
-
-    efam = build_family(topology.edges, topology.edge_rest, 2) \
+    efam = _fam(topology.edges, topology.edge_rest, 2) \
         if has_edges else None
-    tfam = build_family(topology.tets, topology.tet_rest_vol, 3) \
+    tfam = _fam(topology.tets, topology.tet_rest_vol, 3) \
         if has_tets else None
 
     gravity = jnp.asarray(params.gravity, jnp.float32)
