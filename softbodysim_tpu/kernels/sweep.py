@@ -1352,8 +1352,14 @@ def lam_rows(plan) -> int:
 
 
 def block_width(plan) -> int:
-    """Constraints per synchronous block (the oracle's replay granularity)."""
-    return 8 * LANES if isinstance(plan, SuperPlan) else LANES
+    """Constraints per synchronous block (the oracle's replay granularity).
+
+    Accepts SweepPlan, SuperPlan, or any object exposing concatenated
+    ``perm``/``scale`` with a ``super_blocks`` marker (the segmented
+    execution plan, solver/xpbd_pallas.py::_SegPlan)."""
+    if isinstance(plan, SuperPlan) or getattr(plan, "super_blocks", False):
+        return 8 * LANES
+    return LANES
 
 
 def pack_lambda(plan, lam: jnp.ndarray) -> jnp.ndarray:

@@ -20,7 +20,8 @@ the permutation is applied/inverted only at the public SimState boundary.
 
 from __future__ import annotations
 
-from typing import Optional
+import dataclasses
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -32,14 +33,127 @@ from ..kernels import sweep as sw
 
 LANES = 128
 
+# The flat path keeps the whole (8, Vpad) particle table VMEM-resident
+# (input/output aliased by XLA): ~16 MB of VMEM caps it at ~4000 windows
+# (~512k particles, measured: V=512000 runs, V=1.03M fails to compile).
+# Above the cap the step auto-switches to SEGMENTED execution (see
+# _build_seg_plan): windows are split into contiguous segments, each family
+# sweep runs one trimmed kernel chain per segment over (own + ghost
+# windows), segments sequentially.  Because segments run in block order and
+# a ghost window has exactly one concurrent holder, writing ghosts back by
+# REPLACEMENT makes the segmented sweep bit-identical to a flat sweep over
+# the concatenated block order -- same dialect, same oracle replay.
+MAX_FLAT_WINDOWS = 4032
+DEFAULT_SEG_WINDOWS = 2048
+
 # Packing a 600k-constraint topology takes seconds of host work; memoize per
 # (topology object, packing params) so rebuilding steps with different
 # substeps/iterations reuses the plans.  Entries die with the topology.
 _PLAN_CACHE: dict = {}
 
 
+def _pack_best(cons, rest, lcap, arity, nwin, slots_cap, layer_cap):
+    """Adaptive super-block packing: both greedy-scan orders x slot caps,
+    keep the min by the per-block op-count model (see the comment at the
+    call site in _cached_plans for the calibration story)."""
+    caps = ([slots_cap] if slots_cap is not None else [8, 12, 16])
+    best = None
+    for order_mode in (1, 0):
+        for scap in caps:
+            plan = sw.pack_superblocks(
+                cons, rest, nwin, slots_cap=scap,
+                layer_cap=layer_cap or lcap, order_mode=order_mode)
+            # per-block op model: gathers ~12/(role,slot), scatter
+            # tiles ~15/(slot,layer), ~80 fixed (compute+lam+RMWs)
+            cost = plan.num_super * (12 * arity * scap
+                                     + 15 * scap * plan.dmax + 80)
+            if best is None or cost < best[0]:
+                best = (cost, plan)
+            if len(cons) / plan.capacity >= 0.6:
+                break   # dense enough; wider pools only add ops
+    return best[1]
+
+
+@dataclasses.dataclass
+class _Seg:
+    """One window segment of a segmented family plan."""
+
+    w0: int              # first own window (global layout id)
+    ngw: int             # ghost window count
+    gw: np.ndarray       # (ngw,) global ids of ghost windows
+    gids: np.ndarray     # owned constraint ids (public order)
+    plan: sw.SuperPlan   # local packing over (ws + ngw) windows, regrouped
+
+
+@dataclasses.dataclass
+class _SegPlan:
+    """Segmented family packing: per-segment sub-plans + ghost maps.
+
+    ``perm``/``scale`` expose the CONCATENATED block order (global
+    constraint ids / per-lane dlambda scale) so the block-synchronous
+    oracle replay (tests/oracle.py::step_blocks) covers the segmented
+    execution unchanged; ``super_blocks`` marks the 1024-wide block width
+    for kernels.sweep.block_width."""
+
+    ws: int              # windows per segment
+    nwin: int            # padded global window count (multiple of ws)
+    arity: int
+    segs: List[_Seg]
+    pos_of: np.ndarray   # (N,) -> concatenated packed position
+    perm: np.ndarray     # concat packed position -> global id (-1 pad)
+    scale: np.ndarray    # concat per-lane dlambda under-relaxation
+    super_blocks: bool = True
+
+
+def _build_seg_plan(cons_pub, rest_pub, lcap, *, old2new, nwin, ws,
+                    slots_cap, layer_cap) -> _SegPlan:
+    """Partition a family by owner segment (min window // ws) and pack each
+    segment's constraints over LOCAL windows: own windows 0..ws-1, ghost
+    (out-of-segment) windows appended at ws+i.  RCM/aligned layouts keep
+    constraints band-local, so ghost lists stay O(boundary)."""
+    cons = old2new[np.asarray(cons_pub, np.int64)]
+    rest = np.asarray(rest_pub, np.float32)
+    arity = cons.shape[1]
+    win = cons // LANES
+    owner = win.min(axis=1) // ws
+    nseg = nwin // ws
+    segs: List[_Seg] = []
+    pos_of = np.full((len(cons),), -1, np.int64)
+    perm_parts, scale_parts = [], []
+    offset = 0
+    loc_w = np.empty((nwin,), np.int64)
+    for d in range(nseg):
+        gids = np.flatnonzero(owner == d)
+        if len(gids) == 0:
+            continue
+        mine = cons[gids]
+        w = mine // LANES
+        own_lo, own_hi = d * ws, (d + 1) * ws
+        gw = np.unique(w[(w < own_lo) | (w >= own_hi)])
+        loc_w[own_lo:own_hi] = np.arange(ws)
+        loc_w[gw] = ws + np.arange(len(gw))
+        local = loc_w[w] * LANES + mine % LANES
+        plan = sw.regroup_plan(_pack_best(
+            local, rest[gids], lcap, arity, ws + len(gw),
+            slots_cap, layer_cap))
+        segs.append(_Seg(w0=own_lo, ngw=len(gw), gw=gw, gids=gids,
+                         plan=plan))
+        live = plan.perm >= 0
+        gperm = np.where(live, gids[np.maximum(plan.perm, 0)], -1)
+        pos_of[gperm[live]] = offset + np.flatnonzero(live)
+        offset += gperm.size
+        perm_parts.append(gperm)
+        scale_parts.append(plan.scale.reshape(-1))
+    return _SegPlan(
+        ws=ws, nwin=nwin, arity=arity, segs=segs, pos_of=pos_of,
+        perm=(np.concatenate(perm_parts) if perm_parts
+              else np.zeros((0,), np.int64)),
+        scale=(np.concatenate(scale_parts) if scale_parts
+               else np.zeros((0,), np.float32)))
+
+
 def _cached_plans(topology, vertex_order, slots_cap, layer_cap,
-                  superblocks):
+                  superblocks, seg_windows=0):
     """Returns (perm_layout, old2new, nwin, e_plan, t_plan).
 
     perm_layout is (nwin*128,) with old vertex ids, entries ==
@@ -48,7 +162,8 @@ def _cached_plans(topology, vertex_order, slots_cap, layer_cap,
     """
     import weakref
 
-    key = (id(topology), vertex_order, slots_cap, layer_cap, superblocks)
+    key = (id(topology), vertex_order, slots_cap, layer_cap, superblocks,
+           seg_windows)
     hit = _PLAN_CACHE.get(key)
     if hit is not None:
         return hit
@@ -75,45 +190,39 @@ def _cached_plans(topology, vertex_order, slots_cap, layer_cap,
     nwin = len(perm_layout) // LANES
 
     e_plan = t_plan = None
-    if superblocks:
+    if seg_windows:
+        ws = int(seg_windows)
+        if nwin % ws:                     # pad to a whole segment count
+            extra = ws - nwin % ws
+            perm_layout = np.concatenate(
+                [perm_layout, np.full(extra * LANES, V, np.int64)])
+            nwin += extra
+        if has_edges:
+            e_plan = _build_seg_plan(
+                topology.edges, topology.edge_rest, 2, old2new=old2new,
+                nwin=nwin, ws=ws, slots_cap=slots_cap, layer_cap=layer_cap)
+        if has_tets:
+            t_plan = _build_seg_plan(
+                topology.tets, topology.tet_rest_vol, 3, old2new=old2new,
+                nwin=nwin, ws=ws, slots_cap=slots_cap, layer_cap=layer_cap)
+    elif superblocks:
         # 1024-wide super-blocks; same-sublane multiplicity cap 2 for edges
         # (degree ~14 spreads over 8 sublanes), 3 for tets (interior
         # vertices sit in ~24 tets).  The window-slot pool is ADAPTIVE:
         # structured meshes pack densely at S=8 (cheapest gathers), but
         # high-bandwidth unstructured meshes (the reference's Delaunay
         # assets span 5-8 windows per tet even after RCM) fill as little as
-        # 0.2 there -- wider pools trade gather ops for fill; pick the cap
-        # minimizing an op-count model over the realized packings.
-        def pack_best(cons, rest, lcap, arity):
-            caps = ([slots_cap] if slots_cap is not None else [8, 12, 16])
-            best = None
-            # Try both greedy-scan orders (sweep._pack_order): the per-role
-            # lexicographic order wins on structured meshes, the
-            # (min,max)-window band order on unstructured/fragmented ones.
-            # Packing is seconds of native host work; the op model picks.
-            for order_mode in (1, 0):
-                for scap in caps:
-                    plan = sw.pack_superblocks(
-                        cons, rest, nwin, slots_cap=scap,
-                        layer_cap=layer_cap or lcap, order_mode=order_mode)
-                    # per-block op model: gathers ~12/(role,slot), scatter
-                    # tiles ~15/(slot,layer), ~80 fixed (compute+lam+RMWs)
-                    cost = plan.num_super * (12 * arity * scap
-                                             + 15 * scap * plan.dmax + 80)
-                    if best is None or cost < best[0]:
-                        best = (cost, plan)
-                    if len(cons) / plan.capacity >= 0.6:
-                        break   # dense enough; wider pools only add ops
-            return best[1]
-
+        # 0.2 there -- wider pools trade gather ops for fill; _pack_best
+        # tries both greedy-scan orders (sweep._pack_order) x slot caps and
+        # keeps the min by the op-count model.
         if has_edges:
-            e_plan = sw.regroup_plan(
-                pack_best(old2new[topology.edges.astype(np.int64)],
-                          topology.edge_rest, 2, 2))
+            e_plan = sw.regroup_plan(_pack_best(
+                old2new[topology.edges.astype(np.int64)],
+                topology.edge_rest, 2, 2, nwin, slots_cap, layer_cap))
         if has_tets:
-            t_plan = sw.regroup_plan(
-                pack_best(old2new[topology.tets.astype(np.int64)],
-                          topology.tet_rest_vol, 3, 4))
+            t_plan = sw.regroup_plan(_pack_best(
+                old2new[topology.tets.astype(np.int64)],
+                topology.tet_rest_vol, 3, 4, nwin, slots_cap, layer_cap))
     else:
         scap = 4 if slots_cap is None else slots_cap
         if has_edges:
@@ -136,6 +245,77 @@ def _cached_plans(topology, vertex_order, slots_cap, layer_cap,
     return result
 
 
+def _make_seg_sweep(segplan: _SegPlan, interpret: bool, alpha_pub=None):
+    """Segmented family sweep with the flat sweep's call contract:
+    ``sweep(x8, lam_segs, alpha, tables) -> (x8, lam_segs)`` where x8 is
+    the full (8, nwin*LANES) table and lam_segs / tables are per-segment
+    tuples.
+
+    Per segment: slice own windows + gather ghost windows into a local
+    (8, (ws+ngw)*LANES) table, run the segment's trimmed kernel chain, then
+    write own windows back and REPLACE ghost windows' xyz rows.  Segments
+    run sequentially and a ghost window has exactly one holder between its
+    gather and write-back (its owner either already ran or runs later), so
+    replacement reproduces the flat sweep over the concatenated block
+    order bit-for-bit."""
+    ws = segplan.ws
+    nwin = segplan.nwin
+    vpad = nwin * LANES
+    sweeps, tabs_all = [], []
+    for seg in segplan.segs:
+        a_loc = (np.asarray(alpha_pub, np.float32)[seg.gids]
+                 if alpha_pub is not None else None)
+        call = sw.make_sweep(seg.plan, ws + seg.ngw, interpret=interpret,
+                             per_constraint_alpha=a_loc)
+        sweeps.append(call)
+        tabs_all.append((call.tables, jnp.asarray(seg.gw, jnp.int32)))
+
+    def sweep(x8, lam_segs, alpha, tables):
+        outs = []
+        for seg, call, (ktabs, gw), lam in zip(segplan.segs, sweeps,
+                                               tables, lam_segs):
+            c0 = seg.w0 * LANES
+            own = x8[:, c0:c0 + ws * LANES]
+            if seg.ngw:
+                xw = x8.reshape(8, nwin, LANES)
+                ghosts = jnp.take(xw, gw, axis=1)
+                x_ext = jnp.concatenate(
+                    [own.reshape(8, ws, LANES), ghosts],
+                    axis=1).reshape(8, (ws + seg.ngw) * LANES)
+            else:
+                x_ext = own
+            x_ext, lam_o = call(x_ext, lam, alpha, ktabs)
+            x_ext = x_ext.reshape(8, ws + seg.ngw, LANES)
+            x8 = x8.at[:, c0:c0 + ws * LANES].set(
+                x_ext[:, :ws].reshape(8, ws * LANES))
+            if seg.ngw:
+                xw = x8.reshape(8, nwin, LANES)
+                xw = xw.at[0:3, gw].set(x_ext[0:3, ws:])
+                x8 = xw.reshape(8, vpad)
+            outs.append(lam_o)
+        return x8, tuple(outs)
+
+    sweep.tables = tuple(tabs_all)
+    sweep.grouped = True
+    sweep.segmented = True
+    return sweep
+
+
+def _seg_pack_lam(segplan: _SegPlan, gids_j, lam_pub):
+    return tuple(
+        sw.split_lambda(seg.plan, sw.pack_lambda(seg.plan, lam_pub[g]))
+        for seg, g in zip(segplan.segs, gids_j))
+
+
+def _seg_unpack_lam(segplan: _SegPlan, gids_j, lam_segs, lam_template):
+    out = jnp.zeros_like(lam_template)
+    for seg, g, stripes in zip(segplan.segs, gids_j, lam_segs):
+        local = sw.unpack_lambda(seg.plan, sw.join_lambda(seg.plan,
+                                                          stripes))
+        out = out.at[g].set(local)
+    return out
+
+
 def _f32(x):
     return jnp.asarray(x, jnp.float32)
 
@@ -147,6 +327,7 @@ def make_xpbd_pallas_step(topology, params: SolverParams,
                           superblocks: bool = True,
                           slots_cap: Optional[int] = None,
                           layer_cap: Optional[int] = None,
+                          seg_windows: Optional[int] = None,
                           edge_c=None, tet_c=None):
     """Build ``step(state, dt, ...) -> state`` on the Pallas sweep kernels.
 
@@ -159,6 +340,11 @@ def make_xpbd_pallas_step(topology, params: SolverParams,
     constraint order (mixed-material merged scenes).  alpha_i =
     compliance_i / dt^2 exactly; step-time edge_compliance /
     volume_compliance overrides then SCALE the tables (default 1.0).
+
+    seg_windows: windows per segment for SEGMENTED execution (see the
+    module constants) -- None auto-selects (flat below MAX_FLAT_WINDOWS,
+    DEFAULT_SEG_WINDOWS-window segments above, lifting the ~512k-particle
+    single-chip VMEM ceiling), 0 forces the flat path.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -172,17 +358,38 @@ def make_xpbd_pallas_step(topology, params: SolverParams,
     has_edges = topology.num_edges > 0
     has_tets = topology.num_tets > 0
 
+    if seg_windows is None:
+        est_nwin = -(-V // LANES)
+        seg_windows = (DEFAULT_SEG_WINDOWS
+                       if superblocks and est_nwin > MAX_FLAT_WINDOWS
+                       else 0)
+    if seg_windows and not superblocks:
+        raise ValueError("segmented execution requires superblocks=True")
+    segmented = bool(seg_windows)
+
     perm, old2new, nwin, e_plan, t_plan = _cached_plans(
-        topology, vertex_order, slots_cap, layer_cap, superblocks)
+        topology, vertex_order, slots_cap, layer_cap, superblocks,
+        seg_windows)
     vpad = nwin * LANES
 
     edge_sweep = tet_sweep = None
+    e_gids = t_gids = None
     if has_edges:
-        edge_sweep = sw.make_sweep(e_plan, nwin, interpret=interpret,
-                                   per_constraint_alpha=edge_c)
+        if segmented:
+            edge_sweep = _make_seg_sweep(e_plan, interpret, edge_c)
+            e_gids = tuple(jnp.asarray(s.gids, jnp.int32)
+                           for s in e_plan.segs)
+        else:
+            edge_sweep = sw.make_sweep(e_plan, nwin, interpret=interpret,
+                                       per_constraint_alpha=edge_c)
     if has_tets:
-        tet_sweep = sw.make_sweep(t_plan, nwin, interpret=interpret,
-                                  per_constraint_alpha=tet_c)
+        if segmented:
+            tet_sweep = _make_seg_sweep(t_plan, interpret, tet_c)
+            t_gids = tuple(jnp.asarray(s.gids, jnp.int32)
+                           for s in t_plan.segs)
+        else:
+            tet_sweep = sw.make_sweep(t_plan, nwin, interpret=interpret,
+                                      per_constraint_alpha=tet_c)
     tables = (edge_sweep.tables if has_edges else (),
               tet_sweep.tables if has_tets else (),
               jnp.asarray(perm), jnp.asarray(old2new))
@@ -204,13 +411,19 @@ def make_xpbd_pallas_step(topology, params: SolverParams,
         x8 = jnp.concatenate(
             [rows3(state.x_star), w[None, :],
              jnp.zeros((4, vpad), jnp.float32)], axis=0)
-        # grouped plans carry lambdas as per-group stripe tuples
-        lam_e = (sw.split_lambda(e_plan, sw.pack_lambda(
-            e_plan, state.edge_lambda))
-            if has_edges else jnp.zeros((8, LANES), jnp.float32))
-        lam_t = (sw.split_lambda(t_plan, sw.pack_lambda(
-            t_plan, state.tet_lambda))
-            if has_tets else jnp.zeros((8, LANES), jnp.float32))
+        # grouped plans carry lambdas as per-group stripe tuples;
+        # segmented plans as per-segment tuples of those
+        def pack_l(plan, gids, lam):
+            if plan is None:
+                return jnp.zeros((8, LANES), jnp.float32)
+            if segmented:
+                return _seg_pack_lam(plan, gids, lam)
+            return sw.split_lambda(plan, sw.pack_lambda(plan, lam))
+
+        lam_e = pack_l(e_plan if has_edges else None, e_gids,
+                       state.edge_lambda)
+        lam_t = pack_l(t_plan if has_tets else None, t_gids,
+                       state.tet_lambda)
         return (x8, rows3(state.x), rows3(state.v), lam_e, lam_t)
 
     def to_public(carry, state: SimState, old2new_j) -> SimState:
@@ -219,13 +432,20 @@ def make_xpbd_pallas_step(topology, params: SolverParams,
         def unrows(rows):                  # (3,Vpad) -> (V,3), unpermuted
             return rows.T[old2new_j]
 
+        def unpack_l(plan, gids, lam_dev, lam_pub):
+            if plan is None:
+                return lam_pub
+            if segmented:
+                return _seg_unpack_lam(plan, gids, lam_dev, lam_pub)
+            return sw.unpack_lambda(plan, sw.join_lambda(plan, lam_dev))
+
         return SimState(
             x=unrows(xp), v=unrows(vv), x_star=unrows(x8[0:3]),
             inv_mass=state.inv_mass,
-            edge_lambda=(sw.unpack_lambda(e_plan, sw.join_lambda(
-                e_plan, lam_e)) if has_edges else state.edge_lambda),
-            tet_lambda=(sw.unpack_lambda(t_plan, sw.join_lambda(
-                t_plan, lam_t)) if has_tets else state.tet_lambda),
+            edge_lambda=unpack_l(e_plan if has_edges else None, e_gids,
+                                 lam_e, state.edge_lambda),
+            tet_lambda=unpack_l(t_plan if has_tets else None, t_gids,
+                                lam_t, state.tet_lambda),
         )
 
     # ---- substep pieces (all on row layout) ------------------------------
