@@ -69,7 +69,68 @@ def _bench_single(meshes, SolverParams, init_state, make_step, jax,
     return topo, 1.0 / per_step, per_step * 1e3, nproj / per_step
 
 
+def _worker_delegate():
+    """Run the bench inside a live persistent TPU worker, if one exists.
+
+    The axon TPU tunnel is exclusive to ONE process (see
+    .claude/skills/verify/SKILL.md): if tools/tpu_worker.py currently owns
+    it (fresh /tmp/tpu_jobs/.heartbeat), initializing the backend here
+    would fail.  Instead, submit this benchmark as a worker job and relay
+    the JSON line it prints.  Returns the line, or None to bench inline
+    (no worker running — the normal standalone case).
+    """
+    import os
+    import sys
+
+    if os.environ.get("SOFTBODYSIM_BENCH_INLINE"):
+        return None                      # we ARE the worker job
+    hb = "/tmp/tpu_jobs/.heartbeat"
+    try:
+        fresh = time.time() - os.path.getmtime(hb) < 10.0
+    except OSError:
+        return None
+    if not fresh:
+        return None
+    me = os.path.abspath(__file__)
+    job = f"/tmp/tpu_jobs/zbench_{int(time.time())}"
+    with open(job + ".py", "w") as fh:
+        fh.write(
+            "import sys, os, runpy\n"
+            "for m in [m for m in sys.modules"
+            " if m.startswith('softbodysim_tpu')]:\n"
+            "    del sys.modules[m]\n"
+            "os.environ['SOFTBODYSIM_BENCH_INLINE'] = '1'\n"
+            f"runpy.run_path({me!r}, run_name='__main__')\n")
+    print(f"delegating to TPU worker ({job}.py)", file=sys.stderr)
+    deadline = time.time() + 2400
+    while time.time() < deadline:
+        if os.path.exists(job + ".done"):
+            with open(job + ".out") as fh:
+                text = fh.read()
+            for line in text.splitlines():
+                line = line.strip()
+                if line.startswith("{") and line.endswith("}"):
+                    return line
+            print(text, file=sys.stderr)
+            raise SystemExit("worker bench job produced no JSON line")
+        try:
+            stale = time.time() - os.path.getmtime(hb) > 60.0
+        except OSError:
+            stale = True
+        if stale:
+            print("TPU worker heartbeat lost; benching inline",
+                  file=sys.stderr)
+            return None
+        time.sleep(1.0)
+    raise SystemExit("bench delegation timed out after 40 min")
+
+
 def main():
+    line = _worker_delegate()
+    if line is not None:
+        print(line)
+        return
+
     import jax
 
     from softbodysim_tpu import SolverParams

@@ -50,6 +50,12 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 SUBBLOCKS = 8          # constraint blocks processed per grid step
 
+# Bump on ANY change to packing/ordering outputs (pack_constraints,
+# pack_superblocks, _pack_order, regroup_plan, order_vertices,
+# aligned_order, or the seg-plan builder in solver/xpbd_pallas.py): it
+# invalidates the persistent packed-plan cache (io/plan_store.py).
+PACK_VERSION = 1
+
 
 # --------------------------------------------------------------------------
 # Host-side packing

@@ -171,6 +171,31 @@ def _cached_plans(topology, vertex_order, slots_cap, layer_cap,
     V = topology.num_particles
     has_edges = topology.num_edges > 0
     has_tets = topology.num_tets > 0
+
+    # Disk cache (io/plan_store.py): packing is a deterministic function
+    # of the topology arrays + packing params, and dominates cold-start
+    # host time at scale (~4 min at 1M particles).  vertices are hashed
+    # because order_vertices reads them (RCM tie-breaks / spatial modes).
+    from ..io import plan_store
+
+    dkey = plan_store.content_key([
+        "xpbd_pallas_plans", sw.PACK_VERSION, V,
+        topology.vertices,
+        topology.edges if has_edges else None,
+        topology.edge_rest if has_edges else None,
+        topology.tets if has_tets else None,
+        topology.tet_rest_vol if has_tets else None,
+        vertex_order, slots_cap, layer_cap, superblocks, seg_windows,
+    ]) if plan_store.enabled() else None
+    if dkey is not None:
+        disk = plan_store.load(dkey)
+        if disk is not None:
+            _PLAN_CACHE[key] = disk
+            try:
+                weakref.finalize(topology, _PLAN_CACHE.pop, key, None)
+            except TypeError:  # pragma: no cover
+                pass
+            return disk
     aligned = None
     if vertex_order in ("auto", "aligned") and has_edges:
         aligned = sw.aligned_order(V, topology.edges)
@@ -237,6 +262,8 @@ def _cached_plans(topology, vertex_order, slots_cap, layer_cap,
                 slots_cap=scap, layer_cap=layer_cap or 3)
 
     result = (perm_layout, old2new, nwin, e_plan, t_plan)
+    if dkey is not None:
+        plan_store.save(dkey, result)
     _PLAN_CACHE[key] = result
     try:
         weakref.finalize(topology, _PLAN_CACHE.pop, key, None)

@@ -14,6 +14,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 # executables (jax 0.9 compilation_cache.get_executable_and_time); tests use
 # interpret mode throughout, so opt out before softbodysim_tpu is imported.
 os.environ["SOFTBODYSIM_NO_COMPILE_CACHE"] = "1"
+# Hermetic runs: never read/write the user's persistent packed-plan cache
+# (tests that exercise the store point SOFTBODYSIM_PLAN_CACHE at a tmpdir
+# and clear this).
+os.environ["SOFTBODYSIM_NO_PLAN_CACHE"] = "1"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -37,6 +41,7 @@ _QUICK_FILES = {
     "test_native.py", "test_topology_store.py", "test_unity_assets.py",
     "test_utils_engine.py", "test_dynamic.py", "test_dynamic_colliders.py",
     "test_world.py", "test_property_random.py", "test_snap.py",
+    "test_plan_store.py",
     # test_golden_ref.py marks itself quick (compiled-reference parity)
 }
 
