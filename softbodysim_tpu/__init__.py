@@ -53,10 +53,11 @@ from .collide.primitives import Colliders
 from .solver import make_step
 from .api.engine import Engine
 from .api.world import World, Body
+from . import diff
 
 __version__ = "0.1.0"
 
 __all__ = [
     "SimState", "SolverParams", "init_state", "Topology", "build_topology",
-    "meshes", "Colliders", "make_step", "Engine", "World", "Body",
+    "meshes", "Colliders", "make_step", "Engine", "World", "Body", "diff",
 ]

@@ -1,0 +1,150 @@
+"""Differentiable simulation (softbodysim_tpu/diff.py).
+
+Gradients through the solver must be finite and physically meaningful:
+the COM of a free body is ballistic (internal constraint projections are
+momentum-conserving), so d(final COM)/d(v0) has a closed form; and the
+fit API must actually recover material parameters from a trajectory.
+Small meshes, scatter/segment XLA backends (the reverse-mode-friendly
+ones — see diff.differentiable_params); ~3 min fresh-compile on one
+CPU core, so NOT in the quick tier.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import softbodysim_tpu as sbs
+from softbodysim_tpu import diff
+
+
+def _hang_cube(n=3):
+    """Cube pinned by its top layer, sagging under gravity — the stretch
+    of the hang is directly sensitive to edge compliance/stiffness."""
+    topo = sbs.meshes.tet_cube(n, n, n, size=0.4)
+    top = np.where(topo.vertices[:, 1] >= topo.vertices[:, 1].max() - 1e-6)[0]
+    return topo, top
+
+
+def test_grad_flows_and_is_finite():
+    topo, top = _hang_cube()
+    params = sbs.SolverParams(dialect="xpbd", substeps=2, iterations=4,
+                              ground_enabled=False)
+    state0 = sbs.init_state(topo, pinned=top)
+    rollout = diff.make_rollout(topo, params, dt=1 / 60, nsteps=8)
+
+    def loss(c):
+        traj = rollout(state0, {"edge_compliance": c})
+        return jnp.mean(traj[-1, :, 1])
+
+    g = jax.grad(loss)(jnp.float32(5e-4))
+    assert np.isfinite(float(g))
+    # more compliant -> sags lower -> mean final y decreases
+    assert float(g) < 0.0
+
+
+def test_com_gradient_matches_ballistics():
+    # No ground, no pins: edge/tet projections are momentum-conserving
+    # (inv-mass-weighted oppositional corrections), so the COM is exactly
+    # ballistic and d(final mean y)/d(v0 shift) == total time.
+    topo = sbs.meshes.tet_ball(1, 0.3, (0.0, 2.0, 0.0))
+    params = sbs.SolverParams(dialect="xpbd", substeps=2, iterations=3,
+                              ground_enabled=False)
+    state0 = sbs.init_state(topo)
+    nsteps, dt = 10, 1 / 60
+    rollout = diff.make_rollout(topo, params, dt=dt, nsteps=nsteps)
+
+    def final_mean_y(dv):
+        st = sbs.SimState(
+            x=state0.x, v=state0.v.at[:, 1].add(dv), x_star=state0.x_star,
+            inv_mass=state0.inv_mass, edge_lambda=state0.edge_lambda,
+            tet_lambda=state0.tet_lambda)
+        return jnp.mean(rollout(st)[-1, :, 1])
+
+    g = float(jax.grad(final_mean_y)(jnp.float32(0.0)))
+    assert g == pytest.approx(nsteps * dt, rel=1e-3)
+
+
+def test_remat_matches_no_remat():
+    topo, top = _hang_cube()
+    params = sbs.SolverParams(dialect="xpbd", substeps=2, iterations=4,
+                              ground_enabled=False)
+    state0 = sbs.init_state(topo, pinned=top)
+    ov = {"edge_compliance": jnp.float32(1e-3)}
+    r1 = diff.make_rollout(topo, params, dt=1 / 60, nsteps=6, remat=True)
+    r2 = diff.make_rollout(topo, params, dt=1 / 60, nsteps=6, remat=False)
+    np.testing.assert_allclose(np.asarray(r1(state0, ov)),
+                               np.asarray(r2(state0, ov)), atol=1e-6)
+
+    def l1(c):
+        return jnp.mean(r1(state0, {"edge_compliance": c}))
+
+    def l2(c):
+        return jnp.mean(r2(state0, {"edge_compliance": c}))
+
+    g1 = float(jax.grad(l1)(jnp.float32(1e-3)))
+    g2 = float(jax.grad(l2)(jnp.float32(1e-3)))
+    assert g1 == pytest.approx(g2, rel=1e-4)
+
+
+def test_fit_recovers_edge_compliance():
+    topo, top = _hang_cube()
+    params = sbs.SolverParams(dialect="xpbd", substeps=2, iterations=4,
+                              ground_enabled=False, edge_compliance=3e-4)
+    state0 = sbs.init_state(topo, pinned=top)
+    rollout = diff.make_rollout(topo, params, dt=1 / 60, nsteps=12)
+    target = rollout(state0, {"edge_compliance": jnp.float32(3e-4)})
+
+    res = diff.fit(topo, params, np.asarray(target), dt=1 / 60,
+                   fit_params=("edge_compliance",),
+                   init={"edge_compliance": 3e-3},   # 10x off
+                   state0=state0, steps=80, learning_rate=0.25)
+    fitted = res.params["edge_compliance"]
+    assert math.isfinite(fitted)
+    # within 20% in log space after an order-of-magnitude misfit
+    assert abs(math.log(fitted / 3e-4)) < math.log(1.2)
+    assert res.losses[-1] < 1e-2 * res.losses[0]
+    assert res.converged
+
+
+def test_fit_jacobi_stiffness():
+    # mid-range true stiffness: near k=1 the Jacobi averaging saturates
+    # and the loss flattens; at k=0.5 the trajectory is strongly sensitive
+    topo, top = _hang_cube()
+    params = sbs.SolverParams(dialect="jacobi", substeps=2, iterations=2,
+                              ground_enabled=False, edge_stiffness=0.5)
+    state0 = sbs.init_state(topo, pinned=top, inv_mass_mode="density")
+    rollout = diff.make_rollout(topo, params, dt=1 / 60, nsteps=12)
+    target = rollout(state0, {"edge_stiffness": jnp.float32(0.5)})
+
+    res = diff.fit(topo, params, np.asarray(target), dt=1 / 60,
+                   fit_params=("edge_stiffness",),
+                   init={"edge_stiffness": 0.1},
+                   state0=state0, steps=120, learning_rate=0.2)
+    assert res.params["edge_stiffness"] == pytest.approx(0.5, rel=0.2)
+
+
+def test_pallas_params_forced_differentiable():
+    p = sbs.SolverParams(dialect="xpbd", xpbd_backend="pallas",
+                         use_pallas="on")
+    q = diff.differentiable_params(p)
+    assert q.xpbd_backend == "scatter" and q.use_pallas == "off"
+    # and untouched params pass through unchanged (same object)
+    r = sbs.SolverParams(dialect="xpbd", xpbd_backend="scatter",
+                         use_pallas="off")
+    assert diff.differentiable_params(r) is r
+
+
+def test_bad_override_and_bad_fit_param_raise():
+    topo, top = _hang_cube(2)
+    params = sbs.SolverParams(dialect="xpbd", ground_enabled=False)
+    state0 = sbs.init_state(topo, pinned=top)
+    rollout = diff.make_rollout(topo, params, dt=1 / 60, nsteps=2)
+    with pytest.raises(ValueError, match="not fittable"):
+        rollout(state0, {"edge_stiffness": 0.5})   # jacobi knob on xpbd
+    with pytest.raises(ValueError, match="not fittable"):
+        diff.fit(topo, params, np.zeros((2, topo.num_particles, 3)),
+                 dt=1 / 60, fit_params=("sor_omega",), steps=1)

@@ -22,6 +22,8 @@ sys.path.insert(0, "/root/repo")
 # file's freshness to decide whether a worker owns the exclusive axon
 # tunnel and work should be DELEGATED as a job instead of run in-process.
 # A background thread beats every 2 s even while a long job executes.
+# Started only AFTER backend init succeeds — a worker that can't reach
+# the TPU must not advertise itself.
 HEARTBEAT = os.path.join(JOBS, ".heartbeat")
 
 
@@ -35,12 +37,26 @@ def _beat():
         time.sleep(2.0)
 
 
-threading.Thread(target=_beat, daemon=True).start()
-
 import jax  # noqa: E402  (pre-imported by sitecustomize anyway)
 
+# Backend init retry: during a tunnel outage init raises UNAVAILABLE, and
+# jax caches the failure in-process — re-exec for a fresh attempt.
+try:
+    devices = jax.devices()
+except Exception as e:  # noqa: BLE001
+    print(f"backend init failed ({type(e).__name__}); retry in 60 s",
+          flush=True)
+    try:
+        os.unlink(HEARTBEAT)
+    except OSError:
+        pass
+    time.sleep(60.0)
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
+threading.Thread(target=_beat, daemon=True).start()
+
 ns = {"jax": jax}
-print("worker up, devices:", jax.devices(), flush=True)
+print("worker up, devices:", devices, flush=True)
 
 done = set()
 while True:
