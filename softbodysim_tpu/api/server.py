@@ -183,6 +183,11 @@ class PBDServer:
             surface_tris=np.zeros((0, 3), np.int64), orient=False)
         self.engine = Engine(topo, params, pinned=init.pinned,
                              inv_mass_mode="tet")
+        # a re-INIT replaces the world (Server.cpp:106-110): drop the live
+        # viewer so the next publish rebuilds it against the new topology
+        if self._viewer is not None:
+            self._viewer.stop()
+            self._viewer = None
         import jax.numpy as jnp
         self._prev_x = jnp.array(self.engine.positions_device(), copy=True)
         self._log(

@@ -212,7 +212,6 @@ def project_to_surface(points: np.ndarray, surf_v: np.ndarray,
                 np.sum((q[:, None] - centroid[None]) ** 2, axis=2), 0.0))
             lb = np.maximum(dc - rad[None], 0.0)               # (p, F)
             idx = np.argpartition(lb, k_cand - 1, axis=1)[:, :k_cand]
-            rows = np.arange(len(q))[:, None]
             cand = closest_point_on_triangles_perpoint(
                 q, p0[idx], p1[idx], p2[idx])                  # (p, K, 3)
             d2 = np.sum((cand - q[:, None]) ** 2, axis=2)
@@ -220,7 +219,6 @@ def project_to_surface(points: np.ndarray, surf_v: np.ndarray,
             best_d = np.sqrt(d2[np.arange(len(q)), best])
             res = cand[np.arange(len(q)), best]
             # exactness check: lower bound of the best *excluded* triangle
-            lb_sel = lb[rows, idx]
             excl_min = np.partition(lb, k_cand - 1, axis=1)[:, k_cand - 1:]
             excl_min = excl_min.min(axis=1)
             redo = best_d > excl_min + 1e-12
@@ -264,6 +262,34 @@ def _tet_signed_vols(x: np.ndarray, t: np.ndarray) -> np.ndarray:
     return np.einsum(
         "ti,ti->t", np.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0]),
         p[:, 3] - p[:, 0])
+
+
+def _backtrack_scale(x: np.ndarray, delta: np.ndarray, t: np.ndarray,
+                     sgn: np.ndarray, floor: np.ndarray) -> np.ndarray:
+    """Largest per-vertex scale in {1, 0.5^k, 0} such that EVERY tet of
+    ``x + scale*delta`` keeps ``sgn*vol >= floor``.
+
+    Shrinking one vertex's scale can re-violate a neighboring tet that
+    passed at the previous scales, so after the halving rounds the
+    zero-out runs to a fixed point.  Termination: a tet whose four
+    vertices all have scale 0 evaluates at exactly ``x``, where
+    ``sgn*vol = |vols0| >= quality_min*|vols0|`` holds by construction —
+    so every remaining violation has a nonzero scale to zero."""
+    scale = np.ones(len(x))
+    for _ in range(8):
+        vols = sgn * _tet_signed_vols(x + scale[:, None] * delta, t)
+        bad = vols < floor
+        if not bad.any():
+            return scale
+        scale[np.unique(t[bad].reshape(-1))] *= 0.5
+        scale[scale < 1e-3] = 0.0
+    for _ in range(len(x)):
+        vols = sgn * _tet_signed_vols(x + scale[:, None] * delta, t)
+        bad = vols < floor
+        if not bad.any():
+            return scale
+        scale[np.unique(t[bad].reshape(-1))] = 0.0
+    return np.zeros(len(x))   # unreachable; absolute safety
 
 
 def snap_to_surface(verts: np.ndarray, tets: np.ndarray,
@@ -332,19 +358,7 @@ def snap_to_surface(verts: np.ndarray, tets: np.ndarray,
 
         # per-vertex backtrack of this iteration's delta against quality
         delta = prop - x
-        scale = np.ones(len(v))
-        for _ in range(8):
-            vols = sgn * _tet_signed_vols(x + scale[:, None] * delta, t)
-            bad = vols < floor
-            if not bad.any():
-                break
-            scale[np.unique(t[bad].reshape(-1))] *= 0.5
-            scale[scale < 1e-3] = 0.0
-        else:
-            vols = sgn * _tet_signed_vols(x + scale[:, None] * delta, t)
-            bad = vols < floor
-            if bad.any():
-                scale[np.unique(t[bad].reshape(-1))] = 0.0
+        scale = _backtrack_scale(x, delta, t, sgn, floor)
         x = x + scale[:, None] * delta
 
     if volume_match:
@@ -372,14 +386,7 @@ def snap_to_surface(verts: np.ndarray, tets: np.ndarray,
             offset = (vol_ref - vol_now) / area
             delta = np.zeros_like(x)
             delta[bset] = offset * nrm[bset]
-            scale = np.ones(len(v))
-            for _ in range(8):
-                vols = sgn * _tet_signed_vols(x + scale[:, None] * delta, t)
-                bad = vols < floor
-                if not bad.any():
-                    break
-                scale[np.unique(t[bad].reshape(-1))] *= 0.5
-                scale[scale < 1e-3] = 0.0
+            scale = _backtrack_scale(x, delta, t, sgn, floor)
             x = x + scale[:, None] * delta
 
     return x.astype(np.float32)

@@ -129,7 +129,7 @@ def make_trajectory_loss(topology, params: SolverParams, target, *,
 
 class FitResult(NamedTuple):
     params: Dict[str, float]     # fitted values, physical space
-    losses: np.ndarray           # per-iteration loss curve
+    losses: np.ndarray           # loss before each update + final loss
     converged: bool              # final loss <= tol * initial loss
 
 
@@ -203,6 +203,10 @@ def fit(topology, params: SolverParams, target, *, dt: float,
     for _ in range(steps):
         theta, opt_state, val = opt_step(theta, opt_state)
         losses.append(float(val) * loss0)
+    # value_and_grad reports the loss BEFORE each update, so evaluate the
+    # final theta once more: losses[-1] and `converged` must describe the
+    # parameters actually returned.
+    losses.append(float(loss_of_ov(to_physical(theta))))
     fitted = {n: float(v) for n, v in to_physical(theta).items()}
     losses_np = np.asarray(losses, np.float64)
     converged = bool(losses_np[-1] <= tol * max(losses_np[0], 1e-30))

@@ -93,7 +93,7 @@ def save(key: str, obj) -> None:
             pickle.dump(obj, fh, protocol=5)
         os.replace(tmp, os.path.join(d, key + ".pkl"))
         tmp = None
-    except OSError:
+    except Exception:   # incl. PicklingError: skip the cache, never raise
         if tmp is not None:
             try:
                 os.unlink(tmp)

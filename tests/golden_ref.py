@@ -66,8 +66,15 @@ def run_reference(topo, params, *, dt, nsteps, sample_every=0, pinned=None,
 
     Returns dict with 'samples' (S, V, 3), 'vel_samples' (S, V, 3), 'x',
     'v', 'edge_lambda', 'tet_lambda' (final state).
+
+    ``sample_every=0`` means final-state-only: the runner binary itself
+    writes NO position samples at 0 (ref_runner.cpp:126 — only final
+    v/lambdas), so it is mapped to ``nsteps`` here, sampling exactly once
+    at the last step and keeping 'x' populated.
     """
     exe = build_runner()
+    if not sample_every:
+        sample_every = int(nsteps)
 
     edges = np.asarray(topo.edges, np.uint32).reshape(-1, 2)
     tets = np.asarray(topo.tets, np.uint32).reshape(-1, 4)

@@ -21,7 +21,8 @@
 //   f32 edgeCompliance, volumeCompliance
 //   f32 gravity[3]
 //   u32 groundEnabled;  f32 groundY, friction
-//   f32 dt;  u32 nsteps, sampleEvery (0 = final only)
+//   f32 dt;  u32 nsteps, sampleEvery (0 = NO position samples; the
+//   Python wrapper maps 0 -> nsteps for final-only sampling)
 //   u32 pinned[P];  f32 x0[V*3];  u32 edges[E*2];  u32 tets[T*4]
 // Output (argv[2]):
 //   u32 numSamples; { f32 x[V*3]; f32 v[V*3] } * numSamples
