@@ -26,6 +26,12 @@ def main(argv=None):
     serve.add_argument("--view", action="store_true",
                        help="live browser viewport of the simulated body")
     serve.add_argument("--view-port", type=int, default=8900)
+    serve.add_argument("--pipeline", action="store_true",
+                       help="overlap device compute with the round trip "
+                            "(reply carries the previous step's positions)")
+    serve.add_argument("--multi", action="store_true",
+                       help="serve many concurrent clients, one engine per "
+                            "session")
 
     scene = sub.add_parser("scene", help="run a benchmark scene preset")
     scene.add_argument("name", choices=["sample", "4fumo", "extreme",
@@ -56,8 +62,10 @@ def main(argv=None):
     if args.cmd == "serve":
         from .api.server import PBDServer
 
-        PBDServer(host=args.host, port=args.port, mode=args.mode,
-                  view=args.view, view_port=args.view_port).serve_one()
+        srv = PBDServer(host=args.host, port=args.port, mode=args.mode,
+                        pipeline=args.pipeline,
+                        view=args.view, view_port=args.view_port)
+        srv.serve_forever() if args.multi else srv.serve_one()
     elif args.cmd == "scene":
         sys.argv = ["scene", "--scene", args.name,
                     "--seconds", str(args.seconds)]

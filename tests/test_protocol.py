@@ -253,3 +253,83 @@ def test_pipelined_mode_overlaps_client_work():
     # scheduler noise on shared machines doesn't flake the 1.5x target
     # (typical measured: 1.5-1.8)
     assert pipe < lock / 1.4, (lock, pipe, work)
+
+
+def test_multi_session_concurrent_clients():
+    """--multi mode: N concurrent clients, each with an independent engine.
+    Each session's trajectory must match its own single-client run exactly
+    (same jitted programs), sessions must not leak state into each other,
+    and one client's SHUTDOWN must not end the other's session."""
+    topo_a = meshes.tet_cube(2, 2, 2, size=0.5, center=(0.0, 0.7, 0.0))
+    topo_b = meshes.tet_cube(3, 2, 2, size=0.4, center=(0.0, 1.2, 0.0))
+    wire_a = WireParams(substeps=2, iterations=4)
+    wire_b = WireParams(substeps=1, iterations=6, edge_compliance=1e-3)
+
+    def local(topo, wire):
+        eng = Engine(
+            topo,
+            SolverParams(dialect="xpbd", substeps=wire.substeps,
+                         iterations=wire.iterations,
+                         edge_compliance=wire.edge_compliance),
+            inv_mass_mode="tet")
+        for _ in range(6):
+            eng.step(DT)
+        return eng.positions()
+
+    srv = PBDServer(port=0, verbose=False)
+    srv.start_background(multi=True).wait_ready()
+    try:
+        cli_a = PBDClient(port=srv.port)
+        cli_b = PBDClient(port=srv.port)
+        cli_a.init(topo_a.vertices, topo_a.edges, topo_a.tets, params=wire_a)
+        cli_b.init(topo_b.vertices, topo_b.edges, topo_b.tets, params=wire_b)
+        # interleave the two sessions' steps
+        for _ in range(6):
+            pos_a = cli_a.step(DT)
+            pos_b = cli_b.step(DT)
+        assert pos_a.shape == (topo_a.num_particles, 3)
+        assert pos_b.shape == (topo_b.num_particles, 3)
+        np.testing.assert_allclose(pos_a, local(topo_a, wire_a), atol=1e-6)
+        np.testing.assert_allclose(pos_b, local(topo_b, wire_b), atol=1e-6)
+
+        # a's shutdown ends only a's session; b keeps stepping
+        cli_a.close()
+        pos_b2 = cli_b.step(DT)
+        assert np.isfinite(pos_b2).all()
+        cli_b.close()
+    finally:
+        srv.stop()
+
+
+def test_multi_session_parallel_threads():
+    """Drive two sessions from two client threads simultaneously — the
+    per-session engines and comm loops must be thread-safe under real
+    concurrency (JAX dispatch from multiple threads)."""
+    import threading as _threading
+
+    topo = meshes.tet_cube(2, 2, 2, size=0.5, center=(0.0, 0.7, 0.0))
+    wire = WireParams(substeps=2, iterations=4)
+
+    srv = PBDServer(port=0, verbose=False)
+    srv.start_background(multi=True).wait_ready()
+    results = {}
+
+    def run(tag):
+        with PBDClient(port=srv.port, timeout=120.0) as cli:
+            cli.init(topo.vertices, topo.edges, topo.tets, params=wire)
+            for _ in range(8):
+                pos = cli.step(DT)
+            results[tag] = pos
+
+    try:
+        ths = [_threading.Thread(target=run, args=(t,)) for t in "ab"]
+        for t in ths:
+            t.start()
+        for t in ths:
+            t.join(timeout=300.0)
+        assert set(results) == {"a", "b"}
+        # identical configs from identical inits: identical trajectories
+        np.testing.assert_allclose(results["a"], results["b"], atol=1e-6)
+        assert np.isfinite(results["a"]).all()
+    finally:
+        srv.stop()
