@@ -41,9 +41,16 @@ from .solver import make_step
 
 # Traced material overrides each dialect's step accepts (solver/xpbd.py
 # step(); solver/jacobi.py step()) — the fittable parameter surface.
+# "gravity_override" (xpbd, a (3,) vector) is accepted by make_rollout but
+# not by fit(), whose scalar log-space machinery doesn't apply to signed
+# vectors — differentiate through make_rollout directly for it.
 FITTABLE: Dict[str, Tuple[str, ...]] = {
-    "xpbd": ("edge_compliance", "volume_compliance"),
+    "xpbd": ("edge_compliance", "volume_compliance", "friction"),
     "jacobi": ("edge_stiffness", "volume_stiffness", "sor_omega"),
+}
+_ROLLOUT_ONLY: Dict[str, Tuple[str, ...]] = {
+    "xpbd": ("gravity_override",),
+    "jacobi": (),
 }
 
 
@@ -77,7 +84,7 @@ def make_rollout(topology, params: SolverParams, *, dt: float, nsteps: int,
     both ``state0`` and the traced material ``overrides`` dict (keys from
     ``FITTABLE[params.dialect]``)."""
     p = differentiable_params(params)
-    allowed = FITTABLE[p.dialect]
+    allowed = FITTABLE[p.dialect] + _ROLLOUT_ONLY[p.dialect]
     step = make_step(topology, p, colliders=colliders)
 
     def one(state: SimState, overrides) -> SimState:

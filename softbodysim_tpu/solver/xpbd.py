@@ -133,10 +133,15 @@ def project_ground(x_star, inv_mass, ground_y):
     return x_star.at[:, 1].set(y_new)
 
 
-def commit(state: SimState, params: SolverParams, sdt) -> SimState:
-    """Velocity update + ground friction + position commit (Sim.cpp:197-222)."""
+def commit(state: SimState, params: SolverParams, sdt,
+           friction=None) -> SimState:
+    """Velocity update + ground friction + position commit (Sim.cpp:197-222).
+
+    ``friction``: optional traced override of ``params.friction`` (per-scene
+    under vmap; fittable by ``softbodysim_tpu.diff``)."""
     inv_dt = jnp.where(sdt > 1e-12, 1.0 / sdt, 0.0)
-    fr = min(1.0, max(0.0, params.friction))
+    fr = (jnp.clip(friction, 0.0, 1.0) if friction is not None
+          else min(1.0, max(0.0, params.friction)))
 
     pinned = (state.inv_mass == 0.0)[:, None]
     vel = (state.x_star - state.x) * inv_dt
@@ -392,12 +397,12 @@ def make_xpbd_step(topology, params: SolverParams,
         return (x_star, e_lam, t_lam, edge_alpha, tet_alpha), None
 
     def substep(state: SimState, sdt, edge_comp, vol_comp,
-                cols_rt) -> SimState:
+                cols_rt, fric, grav) -> SimState:
         inv_dt2 = jnp.where(sdt > 1e-12, 1.0 / (sdt * sdt), 0.0)
         edge_alpha = jnp.maximum(edge_comp, 0.0) * inv_dt2
         tet_alpha = jnp.maximum(vol_comp, 0.0) * inv_dt2
 
-        state = predict(state, gravity, sdt)
+        state = predict(state, grav, sdt)
 
         carry = (state.x_star, state.edge_lambda, state.tet_lambda,
                  edge_alpha, tet_alpha)
@@ -410,16 +415,18 @@ def make_xpbd_step(topology, params: SolverParams,
             x=state.x, v=state.v, x_star=x_star, inv_mass=state.inv_mass,
             edge_lambda=e_lam, tet_lambda=t_lam,
         )
-        return commit(state, params, sdt)
+        return commit(state, params, sdt, friction=fric)
 
     def step(state: SimState, dt, edge_compliance=None,
-             volume_compliance=None,
+             volume_compliance=None, friction=None, gravity_override=None,
              colliders_rt: Optional[Colliders] = None) -> SimState:
-        """edge_compliance / volume_compliance: optional traced scalar
-        overrides (per-scene under vmap for randomized-stiffness datagen,
-        BASELINE config #5); colliders_rt: per-step collider poses (same
-        count as the make-time template -- moving colliders without
-        recompilation, mirroring the reference's per-step snapshot)."""
+        """edge_compliance / volume_compliance / friction /
+        gravity_override: optional traced overrides of the corresponding
+        SolverParams fields (per-scene under vmap for randomized datagen,
+        BASELINE config #5; fittable via softbodysim_tpu.diff);
+        colliders_rt: per-step collider poses (same count as the make-time
+        template -- moving colliders without recompilation, mirroring the
+        reference's per-step snapshot)."""
         if colliders_rt is not None and colliders is None:
             raise ValueError(
                 "runtime colliders require a make-time collider template")
@@ -427,6 +434,9 @@ def make_xpbd_step(topology, params: SolverParams,
                   else edge_compliance)
         vc = _f32(params.volume_compliance if volume_compliance is None
                   else volume_compliance)
+        fric = None if friction is None else _f32(friction)
+        grav = (gravity if gravity_override is None
+                else jnp.asarray(gravity_override, jnp.float32))
         ss = max(1, params.substeps)
         sdt = _f32(dt) / ss
 
@@ -449,7 +459,7 @@ def make_xpbd_step(topology, params: SolverParams,
         def body(c, _):
             st = SimState(x=c[0], v=c[1], x_star=c[2], inv_mass=inv_mass0,
                           edge_lambda=c[3], tet_lambda=c[4])
-            st = substep(st, sdt, ec, vc, colliders_rt)
+            st = substep(st, sdt, ec, vc, colliders_rt, fric, grav)
             return (st.x, st.v, st.x_star, st.edge_lambda,
                     st.tet_lambda), None
 

@@ -148,3 +148,66 @@ def test_bad_override_and_bad_fit_param_raise():
     with pytest.raises(ValueError, match="not fittable"):
         diff.fit(topo, params, np.zeros((2, topo.num_particles, 3)),
                  dt=1 / 60, fit_params=("sor_omega",), steps=1)
+
+
+def test_fit_ground_friction():
+    # a ball sliding on the ground: the horizontal deceleration is the
+    # commit-time friction (Sim.cpp:197-222), recoverable by gradient
+    topo = sbs.meshes.tet_ball(1, 0.3, (0.0, 0.31, 0.0))
+    params = sbs.SolverParams(dialect="xpbd", substeps=2, iterations=3,
+                              ground_enabled=True, friction=0.3)
+    st = sbs.init_state(topo)
+    state0 = sbs.SimState(
+        x=st.x, v=st.v.at[:, 0].add(2.0), x_star=st.x_star,
+        inv_mass=st.inv_mass, edge_lambda=st.edge_lambda,
+        tet_lambda=st.tet_lambda)
+    rollout = diff.make_rollout(topo, params, dt=1 / 60, nsteps=12)
+    target = rollout(state0, {"friction": jnp.float32(0.3)})
+
+    res = diff.fit(topo, params, np.asarray(target), dt=1 / 60,
+                   fit_params=("friction",), init={"friction": 0.05},
+                   state0=state0, steps=120, learning_rate=0.2)
+    assert res.params["friction"] == pytest.approx(0.3, rel=0.2)
+
+
+def test_gravity_override_gradient():
+    # rollout accepts the (3,) gravity override; d(final mean y)/d(g_y)
+    # of a free body is the ballistic 0.5*T^2 (COM is exactly ballistic)
+    topo = sbs.meshes.tet_ball(1, 0.3, (0.0, 3.0, 0.0))
+    params = sbs.SolverParams(dialect="xpbd", substeps=2, iterations=2,
+                              ground_enabled=False)
+    state0 = sbs.init_state(topo)
+    nsteps, dt = 8, 1 / 60
+    rollout = diff.make_rollout(topo, params, dt=dt, nsteps=nsteps)
+
+    def final_mean_y(gy):
+        g = jnp.stack([jnp.float32(0.0), gy, jnp.float32(0.0)])
+        return jnp.mean(
+            rollout(state0, {"gravity_override": g})[-1, :, 1])
+
+    g = float(jax.grad(final_mean_y)(jnp.float32(-9.81)))
+    # predict applies g at each substep then integrates: sum over all
+    # substeps k of k*sdt^2 = T^2*(n+1)/(2n) with n = total substeps
+    n = nsteps * params.substeps
+    T = nsteps * dt
+    expect = T * T * (n + 1) / (2 * n)
+    assert g == pytest.approx(expect, rel=1e-3)
+
+
+def test_vmapped_rollouts_batch_materials():
+    # the rollout is a pure function: vmap it over a batch of compliances
+    # (the TPU datagen composition -- one program, B trajectories)
+    topo, top = _hang_cube(2)
+    params = sbs.SolverParams(dialect="xpbd", substeps=1, iterations=2,
+                              ground_enabled=False)
+    state0 = sbs.init_state(topo, pinned=top)
+    rollout = diff.make_rollout(topo, params, dt=1 / 60, nsteps=4)
+
+    cs = jnp.asarray([1e-4, 1e-3, 1e-2], jnp.float32)
+    batch = jax.vmap(lambda c: rollout(state0, {"edge_compliance": c}))(cs)
+    assert batch.shape == (3, 4, topo.num_particles, 3)
+    single = rollout(state0, {"edge_compliance": cs[1]})
+    np.testing.assert_allclose(np.asarray(batch[1]), np.asarray(single),
+                               atol=1e-6)
+    # softer hangs lower
+    assert float(batch[2, -1, :, 1].min()) < float(batch[0, -1, :, 1].min())
