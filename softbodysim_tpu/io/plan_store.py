@@ -17,6 +17,9 @@ Environment:
   ``~/.cache/softbodysim_tpu/plans``).
 - ``SOFTBODYSIM_NO_PLAN_CACHE=1``: disable entirely (tests default to
   hermetic runs via conftest).
+- ``SOFTBODYSIM_PLAN_CACHE_GB``: size bound (default 20); least
+  recently USED entries are evicted after each save (loads touch
+  mtime, so hot scenes stay resident).
 
 Entries are pickles of numpy-dataclass plan bundles — an internal cache
 format, not an interchange format (loading is best-effort: any failure
@@ -74,10 +77,37 @@ def load(key: str):
     path = os.path.join(cache_dir(), key + ".pkl")
     try:
         with open(path, "rb") as fh:
-            return pickle.load(fh)
+            obj = pickle.load(fh)
+        os.utime(path)            # LRU touch: keep hot scenes resident
+        return obj
     except (OSError, pickle.UnpicklingError, EOFError, AttributeError,
             ImportError, ValueError):
         return None
+
+
+def _evict(max_bytes: int) -> None:
+    """Drop least-recently-used entries until the cache fits ``max_bytes``.
+    Best-effort: concurrent processes may race; unlink errors ignored."""
+    d = cache_dir()
+    try:
+        entries = []
+        for f in os.listdir(d):
+            if not f.endswith(".pkl"):
+                continue
+            p = os.path.join(d, f)
+            st = os.stat(p)
+            entries.append((st.st_mtime, st.st_size, p))
+    except OSError:
+        return
+    total = sum(e[1] for e in entries)
+    for mtime, size, p in sorted(entries):
+        if total <= max_bytes:
+            break
+        try:
+            os.unlink(p)
+            total -= size
+        except OSError:
+            pass
 
 
 def save(key: str, obj) -> None:
@@ -93,6 +123,8 @@ def save(key: str, obj) -> None:
             pickle.dump(obj, fh, protocol=5)
         os.replace(tmp, os.path.join(d, key + ".pkl"))
         tmp = None
+        gb = float(os.environ.get("SOFTBODYSIM_PLAN_CACHE_GB", "20"))
+        _evict(int(gb * 2**30))
     except Exception:   # incl. PicklingError: skip the cache, never raise
         if tmp is not None:
             try:

@@ -110,3 +110,25 @@ def test_disabled_by_default_in_tests(tmp_path):
     plan_store.save("deadbeef", {"x": 1})  # must be a no-op
     assert not os.path.exists(
         os.path.join(plan_store.cache_dir(), "deadbeef.pkl"))
+
+
+def test_lru_eviction(store, monkeypatch):
+    # three ~equal entries, cap that fits only two: the least recently
+    # USED entry goes; a load refreshes recency
+    import time as _time
+
+    now = _time.time()
+    for i, key in enumerate(("aaa", "bbb", "ccc")):
+        plan_store.save(key, np.zeros(1000, np.float64))
+        past = now - 1000 + i
+        os.utime(os.path.join(store, key + ".pkl"), (past, past))
+    assert plan_store.load("aaa") is not None      # refresh aaa's mtime
+
+    sz = os.path.getsize(os.path.join(store, "aaa.pkl"))
+    monkeypatch.setenv("SOFTBODYSIM_PLAN_CACHE_GB",
+                       str(2.5 * sz / 2**30))
+    plan_store.save("ddd", np.zeros(1000, np.float64))   # triggers evict
+    left = sorted(f for f in os.listdir(store) if f.endswith(".pkl"))
+    # bbb (oldest-used) evicted; recently-loaded aaa survives
+    assert "bbb.pkl" not in left
+    assert "aaa.pkl" in left and "ddd.pkl" in left
