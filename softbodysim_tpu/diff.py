@@ -112,15 +112,27 @@ def make_rollout(topology, params: SolverParams, *, dt: float, nsteps: int,
 
 def make_trajectory_loss(topology, params: SolverParams, target, *,
                          dt: float, state0: Optional[SimState] = None,
-                         pinned=None, colliders=None, remat: bool = True):
+                         pinned=None, colliders=None, remat: bool = True,
+                         observed=None):
     """Build ``loss(overrides) -> scalar``: mean squared position error of
-    a rollout against ``target`` of shape (nsteps, V, 3).  Differentiable;
-    feed to ``jax.grad`` / any optax optimizer (``fit`` does)."""
+    a rollout against ``target``.  Differentiable; feed to ``jax.grad`` /
+    any optax optimizer (``fit`` does).
+
+    ``observed``: optional (K,) vertex indices — real captures see only
+    markers or the surface, not interior vertices.  With it, ``target``
+    is (nsteps, K, 3) and the loss compares only those rows (e.g.
+    ``observed=topology.surface_tris`` flattened-unique for surface-only
+    system identification)."""
     target = jnp.asarray(target, jnp.float32)
-    if target.ndim != 3 or target.shape[1:] != (topology.num_particles, 3):
+    if observed is not None:
+        observed = jnp.asarray(
+            np.unique(np.asarray(observed, np.int64).reshape(-1)), jnp.int32)
+        want = (int(observed.shape[0]), 3)
+    else:
+        want = (topology.num_particles, 3)
+    if target.ndim != 3 or target.shape[1:] != want:
         raise ValueError(
-            f"target must be (nsteps, V={topology.num_particles}, 3), "
-            f"got {target.shape}")
+            f"target must be (nsteps, {want[0]}, 3), got {target.shape}")
     rollout = make_rollout(topology, params, dt=dt,
                            nsteps=int(target.shape[0]),
                            colliders=colliders, remat=remat)
@@ -129,6 +141,8 @@ def make_trajectory_loss(topology, params: SolverParams, target, *,
 
     def loss(overrides) -> jax.Array:
         traj = rollout(state0, overrides)
+        if observed is not None:
+            traj = traj[:, observed]
         return jnp.mean(jnp.square(traj - target))
 
     return loss
@@ -146,11 +160,13 @@ def fit(topology, params: SolverParams, target, *, dt: float,
         state0: Optional[SimState] = None, pinned=None, colliders=None,
         steps: int = 100, learning_rate: float = 0.2, optimizer=None,
         log_space: bool = True, remat: bool = True,
-        tol: float = 1e-2) -> FitResult:
+        tol: float = 1e-2, observed=None) -> FitResult:
     """Recover material parameters from an observed trajectory.
 
     Minimizes mean squared position error of an ``nsteps``-long rollout
-    against ``target`` (nsteps, V, 3) over the named ``fit_params``
+    against ``target`` — (nsteps, V, 3), or (nsteps, K, 3) with
+    ``observed`` (K,) vertex ids when only markers/surface are captured —
+    over the named ``fit_params``
     (subset of ``FITTABLE[params.dialect]``), starting from ``init``
     values (default: the values in ``params``).  ``log_space=True``
     optimizes ``log(p)`` so positivity is structural and the step size is
@@ -167,7 +183,7 @@ def fit(topology, params: SolverParams, target, *, dt: float,
                          f"dialect {params.dialect!r}; allowed: {allowed}")
     loss_of_ov = make_trajectory_loss(
         topology, params, target, dt=dt, state0=state0, pinned=pinned,
-        colliders=colliders, remat=remat)
+        colliders=colliders, remat=remat, observed=observed)
 
     start = {n: float((init or {}).get(n, getattr(params, n)))
              for n in names}
