@@ -71,6 +71,8 @@ class PBDServer:
         self._running = False
         self._accepting = False
         self._nsid = 0
+        self._clients: list = []
+        self._clients_lock = threading.Lock()
         # live browser viewport (reference: real-time Unity viewport; here a
         # render/live.py HTTP stream fed per MSG_STEP; session 0 only)
         self.view = view
@@ -132,9 +134,17 @@ class PBDServer:
             try:
                 client, addr = self._sock.accept()
             except OSError:
-                break               # listener closed by stop()
+                if not self._accepting:
+                    break           # listener closed by stop()
+                # transient accept failure (ECONNABORTED, fd exhaustion):
+                # keep serving — existing sessions must not strand future
+                # clients
+                time.sleep(0.05)
+                continue
             client.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
             ses = self._new_session()
+            with self._clients_lock:
+                self._clients.append(client)
             self._log(f"client {ses.sid} connected from {addr}")
 
             def run(client=client, ses=ses):
@@ -142,10 +152,14 @@ class PBDServer:
                     self._comm_loop(client, ses)
                 finally:
                     client.close()
+                    with self._clients_lock:
+                        if client in self._clients:
+                            self._clients.remove(client)
                     self._log(f"client {ses.sid} session ended")
 
             th = threading.Thread(target=run, daemon=True)
             th.start()
+            threads = [t for t in threads if t.is_alive()]
             threads.append(th)
         for th in threads:
             th.join(timeout=5.0)
@@ -153,11 +167,24 @@ class PBDServer:
         self._log("shut down")
 
     def stop(self):
-        """End serve_forever: stop accepting and close the listener."""
+        """End serve_forever: stop accepting, close the listener AND the
+        live client sockets (comm loops unblock with EOF/error and their
+        sessions end; without this, stop() would stall on reads)."""
         self._accepting = False
         if self._sock is not None:
             try:
                 self._sock.close()
+            except OSError:
+                pass
+        with self._clients_lock:
+            clients = list(self._clients)
+        for c in clients:
+            try:
+                c.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+            try:
+                c.close()
             except OSError:
                 pass
 

@@ -70,7 +70,8 @@ def differentiable_params(params: SolverParams) -> SolverParams:
     if params.dialect == "xpbd" and params.xpbd_backend not in (
             "gather", "scatter"):
         kw["xpbd_backend"] = "scatter"
-    if params.dialect == "jacobi" and params.jacobi_backend == "auto":
+    if params.dialect == "jacobi" and params.jacobi_backend not in (
+            "gather", "segment"):
         kw["jacobi_backend"] = "segment"
     if params.use_pallas != "off":
         kw["use_pallas"] = "off"
@@ -125,8 +126,15 @@ def make_trajectory_loss(topology, params: SolverParams, target, *,
     system identification)."""
     target = jnp.asarray(target, jnp.float32)
     if observed is not None:
-        observed = jnp.asarray(
-            np.unique(np.asarray(observed, np.int64).reshape(-1)), jnp.int32)
+        obs_np = np.unique(np.asarray(observed, np.int64).reshape(-1))
+        if len(obs_np) and (obs_np[0] < 0
+                            or obs_np[-1] >= topology.num_particles):
+            # JAX would silently CLAMP out-of-bounds gathers -> the loss
+            # would compare wrong vertices and fit() converge to garbage
+            raise ValueError(
+                f"observed ids must be in [0, {topology.num_particles}); "
+                f"got range [{obs_np[0]}, {obs_np[-1]}]")
+        observed = jnp.asarray(obs_np, jnp.int32)
         want = (int(observed.shape[0]), 3)
     else:
         want = (topology.num_particles, 3)
@@ -211,7 +219,10 @@ def fit(topology, params: SolverParams, target, *, dt: float,
     # adam's eps (1e-8) would swamp sqrt(v) and shrink every update to a
     # crawl.  Relative loss makes the optimizer scale-free; the returned
     # curve stays in raw (physical) units.
-    loss0 = float(loss_of_ov(to_physical(theta0)))
+    # one jitted forward shared by the loss0 and final-loss evaluations
+    # (an un-jitted rollout would re-trace the whole program each time)
+    loss_fwd = jax.jit(lambda th: loss_of_ov(to_physical(th)))
+    loss0 = float(loss_fwd(theta0))
     inv_scale = 1.0 / max(loss0, 1e-30)
 
     @jax.jit
@@ -229,7 +240,7 @@ def fit(topology, params: SolverParams, target, *, dt: float,
     # value_and_grad reports the loss BEFORE each update, so evaluate the
     # final theta once more: losses[-1] and `converged` must describe the
     # parameters actually returned.
-    losses.append(float(loss_of_ov(to_physical(theta))))
+    losses.append(float(loss_fwd(theta)))
     fitted = {n: float(v) for n, v in to_physical(theta).items()}
     losses_np = np.asarray(losses, np.float64)
     converged = bool(losses_np[-1] <= tol * max(losses_np[0], 1e-30))

@@ -78,11 +78,14 @@ def load(key: str):
     try:
         with open(path, "rb") as fh:
             obj = pickle.load(fh)
-        os.utime(path)            # LRU touch: keep hot scenes resident
-        return obj
     except (OSError, pickle.UnpicklingError, EOFError, AttributeError,
             ImportError, ValueError):
         return None
+    try:
+        os.utime(path)            # LRU touch: keep hot scenes resident
+    except OSError:
+        pass                      # read-only cache / concurrent evict: the
+    return obj                    # successfully loaded object still counts
 
 
 def _evict(max_bytes: int) -> None:
@@ -123,7 +126,10 @@ def save(key: str, obj) -> None:
             pickle.dump(obj, fh, protocol=5)
         os.replace(tmp, os.path.join(d, key + ".pkl"))
         tmp = None
-        gb = float(os.environ.get("SOFTBODYSIM_PLAN_CACHE_GB", "20"))
+        try:
+            gb = float(os.environ.get("SOFTBODYSIM_PLAN_CACHE_GB", "20"))
+        except ValueError:
+            gb = 20.0             # malformed env: keep the default bound
         _evict(int(gb * 2**30))
     except Exception:   # incl. PicklingError: skip the cache, never raise
         if tmp is not None:
