@@ -70,6 +70,66 @@ std::vector<int32_t> greedy_color(const int32_t* cons, int64_t n, int arity,
   return colors;
 }
 
+// Open-addressing u64->payload table (linear probing, power-of-two size).
+// unordered_map's node allocations dominate the topology build at millions
+// of keys; this flat table is the same dedup at ~5x the speed.  Key 0 is
+// reserved as "empty" -- callers bias keys so 0 never occurs.
+struct FlatTable {
+  std::vector<uint64_t> keys;
+  std::vector<int64_t> vals;   // empty when used as a pure set
+  uint64_t mask;
+  int64_t size = 0;
+  bool with_vals;
+  explicit FlatTable(int64_t expected, bool values = true)
+      : with_vals(values) {
+    int64_t cap = 64;
+    while (cap < expected * 2) cap <<= 1;
+    keys.assign(cap, 0);
+    if (with_vals) vals.assign(cap, 0);
+    mask = (uint64_t)cap - 1;
+  }
+  static inline uint64_t hash(uint64_t k) {
+    k ^= k >> 33;
+    k *= 0xff51afd7ed558ccdULL;
+    k ^= k >> 33;
+    return k;
+  }
+  void grow() {
+    FlatTable bigger((int64_t)keys.size(), with_vals);  // cap*2
+    for (size_t i = 0; i < keys.size(); ++i) {
+      if (!keys[i]) continue;
+      bool ins;
+      size_t s = bigger.slot_nogrow(keys[i], &ins);
+      if (with_vals) bigger.vals[s] = vals[i];
+    }
+    bigger.size = size;
+    keys.swap(bigger.keys);
+    vals.swap(bigger.vals);
+    mask = bigger.mask;
+  }
+  inline size_t slot_nogrow(uint64_t key, bool* inserted) {
+    size_t i = hash(key) & mask;
+    while (true) {
+      if (keys[i] == key) {
+        *inserted = false;
+        return i;
+      }
+      if (keys[i] == 0) {
+        keys[i] = key;
+        ++size;
+        *inserted = true;
+        return i;
+      }
+      i = (i + 1) & mask;
+    }
+  }
+  // returns slot index; *inserted true if the key was new (val zeroed)
+  inline size_t slot(uint64_t key, bool* inserted) {
+    if ((uint64_t)size * 10 >= (mask + 1) * 7) grow();  // 70% load cap
+    return slot_nogrow(key, inserted);
+  }
+};
+
 }  // namespace
 
 extern "C" {
@@ -80,21 +140,25 @@ void* st_build_topology(const float* verts, int64_t nverts,
                         const int32_t* tets, int64_t ntets) {
   auto* topo = new Topo();
 
-  // unique sorted-pair edges, lexicographic order (matches np.unique)
+  // unique sorted-pair edges, lexicographic order (matches np.unique):
+  // flat-table dedup (6 per tet), then sort the unique set only.
   {
+    FlatTable seen(ntets * 2, /*values=*/false);
     std::vector<uint64_t> keys;
-    keys.reserve(ntets * 6);
+    keys.reserve(ntets * 3);
     static const int P[6][2] = {{0, 1}, {0, 2}, {0, 3}, {1, 2}, {1, 3}, {2, 3}};
     for (int64_t t = 0; t < ntets; ++t) {
       for (auto& pr : P) {
         uint64_t a = (uint64_t)tets[t * 4 + pr[0]];
         uint64_t b = (uint64_t)tets[t * 4 + pr[1]];
         if (a > b) std::swap(a, b);
-        keys.push_back((a << 32) | b);
+        uint64_t key = (a << 32) | b;
+        bool inserted;
+        seen.slot(key + 1, &inserted);  // +1: key 0 means empty
+        if (inserted) keys.push_back(key);
       }
     }
     std::sort(keys.begin(), keys.end());
-    keys.erase(std::unique(keys.begin(), keys.end()), keys.end());
     topo->edges.reserve(keys.size() * 2);
     for (uint64_t k : keys) {
       topo->edges.push_back((int32_t)(k >> 32));
@@ -105,13 +169,16 @@ void* st_build_topology(const float* verts, int64_t nverts,
   // boundary faces: count unordered keys over the 4 faces per tet
   // (a,b,c|d), (a,d,b|c), (a,c,d|b), (b,d,c|a); faces seen once are
   // boundary; flip winding so the opposite vertex is behind the normal.
+  // A boundary face has exactly ONE occurrence, so its stored orientation
+  // record is unambiguous (no first-seen dependence).
   {
     struct FaceVal {
       int32_t i0, i1, i2, opp;
-      int count;
+      int32_t count;
     };
-    std::unordered_map<uint64_t, FaceVal> faces;
-    faces.reserve(ntets * 4);
+    FlatTable table(ntets * 5 / 2);
+    std::vector<FaceVal> recs;
+    recs.reserve(ntets * 2 + 4);
     auto fkey = [](int32_t x, int32_t y, int32_t z) {
       int32_t a = x, b = y, c = z;
       if (a > b) std::swap(a, b);
@@ -121,12 +188,14 @@ void* st_build_topology(const float* verts, int64_t nverts,
       return ((uint64_t)a << 42) | ((uint64_t)b << 21) | (uint64_t)c;
     };
     auto add_face = [&](int32_t i0, int32_t i1, int32_t i2, int32_t opp) {
-      auto key = fkey(i0, i1, i2);
-      auto it = faces.find(key);
-      if (it == faces.end())
-        faces[key] = FaceVal{i0, i1, i2, opp, 1};
-      else
-        it->second.count++;
+      bool inserted;
+      size_t s = table.slot(fkey(i0, i1, i2) + 1, &inserted);
+      if (inserted) {
+        table.vals[s] = (int64_t)recs.size();
+        recs.push_back(FaceVal{i0, i1, i2, opp, 1});
+      } else {
+        recs[table.vals[s]].count++;
+      }
     };
     for (int64_t t = 0; t < ntets; ++t) {
       int32_t a = tets[t * 4], b = tets[t * 4 + 1], c = tets[t * 4 + 2],
@@ -137,10 +206,10 @@ void* st_build_topology(const float* verts, int64_t nverts,
       add_face(b, d, c, a);
     }
     std::vector<std::array<int32_t, 3>> tris;
-    for (auto& kv : faces) {
-      if (kv.second.count != 1) continue;
-      int32_t i0 = kv.second.i0, i1 = kv.second.i1, i2 = kv.second.i2;
-      double s = tet_signed_volume(verts, i0, i1, i2, kv.second.opp) * 6.0;
+    for (auto& rec : recs) {
+      if (rec.count != 1) continue;
+      int32_t i0 = rec.i0, i1 = rec.i1, i2 = rec.i2;
+      double s = tet_signed_volume(verts, i0, i1, i2, rec.opp) * 6.0;
       if (s > 0.0) std::swap(i1, i2);
       tris.push_back({i0, i1, i2});
     }
@@ -157,6 +226,26 @@ void* st_build_topology(const float* verts, int64_t nverts,
                                    (int64_t)topo->edges.size() / 2, 2, nverts);
   topo->tet_colors = greedy_color(tets, ntets, 4, nverts);
   return topo;
+}
+
+// In-place positive orientation (SoftBodyTetMeshAsset.cs:83-102): swap
+// (b, c) of any tet whose fp32 signed volume is negative.  Arithmetic is
+// plain float (no FMA contraction with the default build flags), matching
+// core/topology.py::orient_tets_positive bit-for-bit.
+void st_orient(const float* verts, int32_t* tets, int64_t ntets) {
+  for (int64_t t = 0; t < ntets; ++t) {
+    const float* a = verts + 3 * tets[t * 4 + 0];
+    const float* b = verts + 3 * tets[t * 4 + 1];
+    const float* c = verts + 3 * tets[t * 4 + 2];
+    const float* d = verts + 3 * tets[t * 4 + 3];
+    float ax = b[0] - a[0], ay = b[1] - a[1], az = b[2] - a[2];
+    float bx = c[0] - a[0], by = c[1] - a[1], bz = c[2] - a[2];
+    float cx = d[0] - a[0], cy = d[1] - a[1], cz = d[2] - a[2];
+    float nx = ay * bz - az * by, ny = az * bx - ax * bz,
+          nz = ax * by - ay * bx;
+    float vol = (nx * cx + ny * cy + nz * cz) / 6.0f;
+    if (vol < 0.0f) std::swap(tets[t * 4 + 1], tets[t * 4 + 2]);
+  }
 }
 
 int64_t st_num_edges(void* h) { return ((Topo*)h)->edges.size() / 2; }

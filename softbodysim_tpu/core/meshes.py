@@ -32,28 +32,29 @@ def tet_cube(nx: int = 4, ny: int = 4, nz: int = 4, size: float = 1.0,
         return (i * (ny + 1) + j) * (nz + 1) + k
 
     # 5-tet decomposition; mirror on odd-parity cells to share diagonals
-    even = [
-        (0, 1, 2, 4), (1, 3, 2, 7), (1, 4, 5, 7), (2, 4, 7, 6), (1, 2, 4, 7),
-    ]
-    odd = [
-        (0, 1, 3, 5), (0, 3, 2, 6), (0, 5, 4, 6), (3, 5, 6, 7), (0, 3, 5, 6),
-    ]
+    even = np.array(
+        [(0, 1, 2, 4), (1, 3, 2, 7), (1, 4, 5, 7), (2, 4, 7, 6),
+         (1, 2, 4, 7)], np.int64)
+    odd = np.array(
+        [(0, 1, 3, 5), (0, 3, 2, 6), (0, 5, 4, 6), (3, 5, 6, 7),
+         (0, 3, 5, 6)], np.int64)
 
-    tets = []
-    for i in range(nx):
-        for j in range(ny):
-            for k in range(nz):
-                c = [
-                    vid(i, j, k), vid(i, j, k + 1),
-                    vid(i, j + 1, k), vid(i, j + 1, k + 1),
-                    vid(i + 1, j, k), vid(i + 1, j, k + 1),
-                    vid(i + 1, j + 1, k), vid(i + 1, j + 1, k + 1),
-                ]
-                pattern = even if (i + j + k) % 2 == 0 else odd
-                for t in pattern:
-                    tets.append([c[t[0]], c[t[1]], c[t[2]], c[t[3]]])
+    # all cells at once, (i, j, k)-major to match the scalar loop order
+    ci, cj, ck = np.meshgrid(
+        np.arange(nx, dtype=np.int64), np.arange(ny, dtype=np.int64),
+        np.arange(nz, dtype=np.int64), indexing="ij")
+    ci, cj, ck = ci.ravel(), cj.ravel(), ck.ravel()
+    corners = np.stack(
+        [vid(ci, cj, ck), vid(ci, cj, ck + 1),
+         vid(ci, cj + 1, ck), vid(ci, cj + 1, ck + 1),
+         vid(ci + 1, cj, ck), vid(ci + 1, cj, ck + 1),
+         vid(ci + 1, cj + 1, ck), vid(ci + 1, cj + 1, ck + 1)], axis=1)
+    pattern = np.where(
+        (((ci + cj + ck) % 2) == 0)[:, None, None], even[None], odd[None])
+    tets = np.take_along_axis(
+        corners[:, None, :], pattern.reshape(-1, 5, 4), axis=2).reshape(-1, 4)
 
-    return build_topology(verts, np.asarray(tets, np.int64))
+    return build_topology(verts, tets)
 
 
 def single_tet(scale: float = 1.0) -> Topology:

@@ -47,8 +47,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if _tried:
             return None
         _tried = True
-        if not os.path.exists(_LIB_PATH) and not _try_build():
-            return None
+        src = os.path.join(_NATIVE_DIR, "softtopo.cpp")
+        try:
+            stale = (os.path.exists(src) and
+                     os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
+        except OSError:
+            stale = not os.path.exists(_LIB_PATH)
+        if (stale or not os.path.exists(_LIB_PATH)) and not _try_build():
+            if not os.path.exists(_LIB_PATH):
+                return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:
@@ -72,6 +79,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
             fn.restype = None
             fn.argtypes = [voidp, i32p]
         lib.st_free.argtypes = [voidp]
+        try:                      # stale prebuilt lib may lack newer symbols
+            lib.st_orient.restype = None
+            lib.st_orient.argtypes = [f32p, i32p, i64]
+        except AttributeError:
+            pass
         lib.st_greedy_color.restype = None
         lib.st_greedy_color.argtypes = [i32p, i64, ctypes.c_int32, i64, i32p]
 
@@ -134,6 +146,22 @@ def native_build_topology(vertices: np.ndarray, tets: np.ndarray):
         return edges, surface, ecol, tcol
     finally:
         lib.st_free(h)
+
+
+def native_orient(vertices: np.ndarray,
+                  tets: np.ndarray) -> Optional[np.ndarray]:
+    """Positively-oriented copy of ``tets`` (int32), or None if the lib is
+    unavailable.  Bit-identical to topology.orient_tets_positive."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "st_orient"):
+        return None
+    v = np.ascontiguousarray(vertices, np.float32)
+    t = np.ascontiguousarray(tets, np.int32)
+    if t is tets:                       # ascontiguousarray may alias
+        t = t.copy()
+    if len(t):
+        lib.st_orient(v, t.reshape(-1), len(t))
+    return t
 
 
 def native_greedy_color(constraints: np.ndarray, num_vertices: int):

@@ -77,8 +77,15 @@ class Topology:
 def orient_tets_positive(vertices: np.ndarray, tets: np.ndarray) -> np.ndarray:
     """Swap (b, c) of any tet with negative signed volume
     (SoftBodyTetMeshAsset.cs:83-102)."""
-    tets = np.asarray(tets, np.int64).reshape(-1, 4).copy()
+    tets = np.asarray(tets, np.int64).reshape(-1, 4)
     v = np.asarray(vertices, np.float32)
+    if tets.shape[0] > 4096:            # native fast path, bit-identical
+        from .native import native_orient
+
+        out = native_orient(v, tets)
+        if out is not None:
+            return out.astype(np.int64)
+    tets = tets.copy()
     p = v[tets]
     vol = np.einsum(
         "ti,ti->t",

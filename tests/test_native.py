@@ -134,3 +134,82 @@ def test_native_super_packer_matches_python():
         for f in ("slots", "rel", "inv", "rest", "perm", "pos_of", "scale"):
             assert np.array_equal(getattr(a, f), getattr(b, f)), f
         assert (a.num_super, a.dmax) == (b.num_super, b.dmax)
+
+
+@needs_native
+def test_native_orient_bit_identical():
+    """native st_orient must match orient_tets_positive exactly, including
+    zero-volume tets (degenerate: shared corner ids) staying unswapped."""
+    from softbodysim_tpu.core.native import native_orient
+
+    rng = np.random.default_rng(0)
+    for trial in range(3):
+        nv = 400
+        v = rng.standard_normal((nv, 3)).astype(np.float32)
+        t = rng.integers(0, nv, (5000, 4))
+        t[::7, 1] = t[::7, 0]  # exact-zero volumes
+        # scalar-faithful NumPy reference (the fallback path's arithmetic)
+        tt = np.asarray(t, np.int64).copy()
+        p = v[tt]
+        vol = np.einsum(
+            "ti,ti->t",
+            np.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0]),
+            p[:, 3] - p[:, 0]) / 6.0
+        neg = vol < 0.0
+        b = tt[neg, 1].copy()
+        tt[neg, 1] = tt[neg, 2]
+        tt[neg, 2] = b
+        got = native_orient(v, t)
+        assert got is not None
+        np.testing.assert_array_equal(got.astype(np.int64), tt)
+
+
+@needs_native
+def test_native_build_random_soup_matches_python():
+    """Flat-table dedup vs NumPy on an adversarial tet soup: duplicate tets
+    (interior-face counts > 2) and heavy vertex reuse."""
+    from softbodysim_tpu.core.topology import orient_tets_positive
+
+    rng = np.random.default_rng(1)
+    nv = 300
+    v = rng.standard_normal((nv, 3)).astype(np.float32)
+    t = rng.integers(0, nv, (2000, 4))
+    t[100:110] = t[0]  # duplicated tets
+    t = orient_tets_positive(v, t)
+    edges_py, tris_py = build_edges_and_surface(v, t)
+    edges_n, tris_n, ecol_n, tcol_n = native_build_topology(v, t)
+    np.testing.assert_array_equal(edges_n, edges_py)
+    np.testing.assert_array_equal(tris_n, tris_py)
+    np.testing.assert_array_equal(ecol_n, greedy_color(edges_py, len(v)))
+    np.testing.assert_array_equal(tcol_n, greedy_color(t, len(v)))
+
+
+def test_tet_cube_vectorized_generation():
+    """The vectorized tet_cube cell decomposition must match the scalar
+    reference loop (parity pattern, cell order) for asymmetric grids."""
+    from softbodysim_tpu.core.topology import orient_tets_positive
+
+    nx, ny, nz = 3, 2, 4
+
+    def vid(i, j, k):
+        return (i * (ny + 1) + j) * (nz + 1) + k
+
+    even = [(0, 1, 2, 4), (1, 3, 2, 7), (1, 4, 5, 7), (2, 4, 7, 6),
+            (1, 2, 4, 7)]
+    odd = [(0, 1, 3, 5), (0, 3, 2, 6), (0, 5, 4, 6), (3, 5, 6, 7),
+           (0, 3, 5, 6)]
+    tets = []
+    for i in range(nx):
+        for j in range(ny):
+            for k in range(nz):
+                c = [vid(i, j, k), vid(i, j, k + 1), vid(i, j + 1, k),
+                     vid(i, j + 1, k + 1), vid(i + 1, j, k),
+                     vid(i + 1, j, k + 1), vid(i + 1, j + 1, k),
+                     vid(i + 1, j + 1, k + 1)]
+                pat = even if (i + j + k) % 2 == 0 else odd
+                for p in pat:
+                    tets.append([c[p[0]], c[p[1]], c[p[2]], c[p[3]]])
+
+    topo = meshes.tet_cube(nx, ny, nz)
+    want = orient_tets_positive(topo.vertices, np.asarray(tets, np.int64))
+    np.testing.assert_array_equal(topo.tets.astype(np.int64), want)
