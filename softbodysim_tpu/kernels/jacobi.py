@@ -35,7 +35,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .sweep import LANES, SUBBLOCKS, SuperPlan, _gather_super
+from .sweep import (LANES, SUBBLOCKS, SuperPlan, _gather_xyz, _slot_sort,
+                    _w_fill_kernel)
 
 __all__ = ["make_jacobi_pass"]
 
@@ -68,8 +69,8 @@ def _apply_epilogue(xin_ref, xout_ref, omega):
 
 
 def _edge_pass_kernel(scal_ref, slots_ref, rel_ref, inv_ref, rest_ref,
-                      k_ref, xin_ref, *refs, S, DMAX, NSTEP, GB, PERK,
-                      INIT=True, FINAL=True):
+                      k_ref, w_ref, xin_ref, *refs, S, PROF, NSTEP, GB,
+                      PERK, INIT=True, FINAL=True):
     # Grouped execution (make_jacobi_pass on a regrouped plan): the
     # accumulator threads across group kernels -- only the first group
     # zeroes it (INIT), later groups seed xout from the incoming acc_ref
@@ -89,13 +90,17 @@ def _edge_pass_kernel(scal_ref, slots_ref, rel_ref, inv_ref, rest_ref,
         def _():
             xout_ref[:] = acc_ref[:]
 
+    sumd = max(1, sum(PROF))
+    off = [0]
+    for d in PROF:
+        off.append(off[-1] + d)
     k = scal_ref[0, 0]
     for sb in range(GB):
         wins = [slots_ref[sb, t] for t in range(S)]
         r0 = rel_ref[(sb * 2) * 8:(sb * 2) * 8 + 8, :]
         r1 = rel_ref[(sb * 2 + 1) * 8:(sb * 2 + 1) * 8 + 8, :]
-        a0x, a0y, a0z, a0w = _gather_super(xin_ref, wins, r0, S)
-        a1x, a1y, a1z, a1w = _gather_super(xin_ref, wins, r1, S)
+        a0x, a0y, a0z = _gather_xyz(xin_ref, wins, r0, S)
+        a1x, a1y, a1z = _gather_xyz(xin_ref, wins, r1, S)
 
         # GatherEdgesForParticle (SoftBodySolver.cs:395-433):
         # lambda = -k * (len - rest) / (wa + wb); contribution to a is
@@ -105,7 +110,8 @@ def _edge_pass_kernel(scal_ref, slots_ref, rel_ref, inv_ref, rest_ref,
         dy = a0y - a1y
         dz = a0z - a1z
         len2 = dx * dx + dy * dy + dz * dz
-        w = a0w + a1w
+        # v7: wsum streamed (w-fill prologue), not gathered per pass
+        w = w_ref[sb * 8:sb * 8 + 8, :]
         valid = (w != 0.0) & (len2 >= 1e-18)
         ln = jnp.sqrt(jnp.maximum(len2, 1e-30))
         c = ln - rest_ref[sb * 8:sb * 8 + 8, :]
@@ -123,11 +129,13 @@ def _edge_pass_kernel(scal_ref, slots_ref, rel_ref, inv_ref, rest_ref,
         cn = jnp.where(valid, 1.0, 0.0)
 
         for t in range(S):
+            if PROF[t] == 0:
+                continue
             w8 = jnp.broadcast_to(
                 xin_ref[3:4, pl.ds(wins[t] * LANES, LANES)], (8, LANES))
             ax = ay = az = ac = jnp.zeros((8, LANES), jnp.float32)
-            for l in range(DMAX):
-                row = ((sb * S + t) * DMAX + l) * 8
+            for l in range(PROF[t]):
+                row = (sb * sumd + off[t] + l) * 8
                 inv = inv_ref[row:row + 8, :]
                 has = inv >= 0
                 jl = inv & (LANES - 1)       # -1 -> 127, masked by sf=0
@@ -148,8 +156,8 @@ def _edge_pass_kernel(scal_ref, slots_ref, rel_ref, inv_ref, rest_ref,
 
 
 def _tet_pass_kernel(scal_ref, slots_ref, rel_ref, inv_ref, rest_ref,
-                     k_ref, xin_ref, *refs, S, DMAX, NSTEP, GB, PERK,
-                     INIT=True, FINAL=True):
+                     k_ref, w_ref, xin_ref, *refs, S, PROF, NSTEP, GB,
+                     PERK, INIT=True, FINAL=True):
     xout_ref = refs[-1]
     s = pl.program_id(0)
 
@@ -164,6 +172,10 @@ def _tet_pass_kernel(scal_ref, slots_ref, rel_ref, inv_ref, rest_ref,
         def _():
             xout_ref[:] = acc_ref[:]
 
+    sumd = max(1, sum(PROF))
+    off = [0]
+    for d in PROF:
+        off.append(off[-1] + d)
     k = scal_ref[0, 0]
     sixth = jnp.float32(1.0 / 6.0)
     for sb in range(GB):
@@ -171,9 +183,14 @@ def _tet_pass_kernel(scal_ref, slots_ref, rel_ref, inv_ref, rest_ref,
         acc = []
         for r in range(4):
             rel = rel_ref[(sb * 4 + r) * 8:(sb * 4 + r) * 8 + 8, :]
-            acc.append(_gather_super(xin_ref, wins, rel, S))
-        (pax, pay, paz, wa), (pbx, pby, pbz, wb), \
-            (pcx, pcy, pcz, wc), (pdx, pdy, pdz, wd) = acc
+            acc.append(_gather_xyz(xin_ref, wins, rel, S))
+        (pax, pay, paz), (pbx, pby, pbz), \
+            (pcx, pcy, pcz), (pdx, pdy, pdz) = acc
+        # v7: per-role inverse masses streamed (w-fill prologue)
+        wa = w_ref[(sb * 4 + 0) * 8:(sb * 4 + 0) * 8 + 8, :]
+        wb = w_ref[(sb * 4 + 1) * 8:(sb * 4 + 1) * 8 + 8, :]
+        wc = w_ref[(sb * 4 + 2) * 8:(sb * 4 + 2) * 8 + 8, :]
+        wd = w_ref[(sb * 4 + 3) * 8:(sb * 4 + 3) * 8 + 8, :]
 
         # GatherVolumesForParticle (SoftBodySolver.cs:451-519): role
         # gradients, lambda = -k * (vol - rest) / wsum, contribution per
@@ -221,12 +238,14 @@ def _tet_pass_kernel(scal_ref, slots_ref, rel_ref, inv_ref, rest_ref,
         validf = jnp.where(valid, 1.0, 0.0)
 
         for t in range(S):
+            if PROF[t] == 0:
+                continue
             wnz = jnp.where(
                 xin_ref[3:4, pl.ds(wins[t] * LANES, LANES)] != 0.0, 1.0, 0.0)
             wnz8 = jnp.broadcast_to(wnz, (8, LANES))
             accs = [jnp.zeros((8, LANES), jnp.float32) for _ in range(4)]
-            for l in range(DMAX):
-                row = ((sb * S + t) * DMAX + l) * 8
+            for l in range(PROF[t]):
+                row = (sb * sumd + off[t] + l) * 8
                 inv = inv_ref[row:row + 8, :]
                 has = inv >= 0
                 hi = inv >= 2 * LANES
@@ -256,19 +275,28 @@ def _tet_pass_kernel(scal_ref, slots_ref, rel_ref, inv_ref, rest_ref,
 
 def _make_jacobi_pass_grouped(plan: SuperPlan, num_windows: int, *,
                               interpret: bool = False,
-                              per_constraint_k=None, apply: bool = True):
+                              per_constraint_k=None, apply: bool = True,
+                              ragged: bool = True):
     """Grouped build: one trimmed pallas_call per execution group
     (sweep.regroup_plan), threading the (delta, cnt) accumulator table
     through the group sequence.  Jacobi is snapshot-Jacobi, so group order
     is irrelevant to the physics -- grouping only trims each kernel's
-    unrolled (S, DMAX) caps to its group's occupancy.  Group 0 zeroes the
+    unrolled slot/layer caps to its group's occupancy.  Group 0 zeroes the
     accumulator, the last group applies the epilogue; intermediate
     accumulators alias input->output so no extra HBM buffer is allocated.
+
+    ragged / fill_w: same v7 design as the sweep kernels (see
+    kernels/sweep.py) -- slots sorted by layer occupancy, per-slot-position
+    static layer profiles, and streamed inverse-mass tables appended by
+    ``pass.fill_w(x8, pass.tables)`` once per jitted program.
     """
+    if ragged:
+        plan = _slot_sort(plan)
     S, D, a = plan.nslots, plan.dmax, plan.arity
     nb = plan.num_super
     vpad = num_windows * LANES
     kernel = _edge_pass_kernel if a == 2 else _tet_pass_kernel
+    wrows = 8 if a == 2 else 4 * 8
     perk = per_constraint_k is not None
 
     from .sweep import pack_lambda
@@ -276,15 +304,33 @@ def _make_jacobi_pass_grouped(plan: SuperPlan, num_windows: int, *,
     k_full = (pack_lambda(plan, jnp.asarray(per_constraint_k, jnp.float32))
               if perk else None)
     inv5 = plan.inv.reshape(nb, S, D, 8, LANES)
+    occ5 = inv5 >= 0
 
-    calls, tabs_all = [], []
+    groups = plan.groups or ((nb, S, D),)
+    calls, fills, tabs_all = [], [], []
     b0 = 0
-    ng = len(plan.groups)
-    for gi, (nbg, Sg, Dg) in enumerate(plan.groups):
+    ng = len(groups)
+    for gi, (nbg, Sg, Dg) in enumerate(groups):
         b1 = b0 + nbg
         gb = min(SUBBLOCKS, nbg)
         nstep = nbg // gb
         first, last = gi == 0, gi == ng - 1
+        if ragged:
+            lay = occ5[b0:b1, :Sg].any(axis=(3, 4))
+            d_bs = np.where(lay.any(axis=2),
+                            D - np.argmax(lay[:, :, ::-1], axis=2), 0)
+            prof = tuple(int(v) for v in d_bs.max(axis=0))
+            pieces = [inv5[b0:b1, t, :prof[t]]
+                      for t in range(Sg) if prof[t]]
+            invr = (np.concatenate(pieces, axis=1) if pieces
+                    else np.full((nbg, 1, 8, LANES), -1, np.int32))
+        else:
+            prof = (Dg,) * Sg
+            invr = inv5[b0:b1, :Sg, :Dg]
+        sumd = max(1, sum(prof))
+        invr = np.ascontiguousarray(invr).reshape(nbg * sumd * 8, LANES)
+        w_spec = pl.BlockSpec((gb * wrows, LANES), lambda s: (s, 0),
+                              memory_space=pltpu.VMEM)
         if perk:
             ktab = k_full[b0 * 8:b1 * 8]
             k_spec = pl.BlockSpec((gb * 8, LANES), lambda s: (s, 0),
@@ -293,25 +339,26 @@ def _make_jacobi_pass_grouped(plan: SuperPlan, num_windows: int, *,
             ktab = jnp.zeros((gb * 8, LANES), jnp.float32)
             k_spec = pl.BlockSpec((gb * 8, LANES), lambda s: (0, 0),
                                   memory_space=pltpu.VMEM)
+        slots_spec = pl.BlockSpec((gb, LANES), lambda s: (s, 0),
+                                  memory_space=pltpu.SMEM)
+        rel_spec = pl.BlockSpec((gb * a * 8, LANES), lambda s: (s, 0),
+                                memory_space=pltpu.VMEM)
         in_specs = [
             pl.BlockSpec((1, 2), lambda s: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((gb, LANES), lambda s: (s, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((gb * a * 8, LANES), lambda s: (s, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((gb * Sg * Dg * 8, LANES), lambda s: (s, 0),
+            slots_spec, rel_spec,
+            pl.BlockSpec((gb * sumd * 8, LANES), lambda s: (s, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((gb * 8, LANES), lambda s: (s, 0),
                          memory_space=pltpu.VMEM),
-            k_spec,
+            k_spec, w_spec,
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ]
         kwargs = {}
         if not first:
             in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-            kwargs["input_output_aliases"] = {7: 0}
+            kwargs["input_output_aliases"] = {8: 0}
         call = pl.pallas_call(
-            functools.partial(kernel, S=Sg, DMAX=Dg, NSTEP=nstep, GB=gb,
+            functools.partial(kernel, S=Sg, PROF=prof, NSTEP=nstep, GB=gb,
                               PERK=perk, INIT=first, FINAL=last and apply),
             grid=(nstep,),
             in_specs=in_specs,
@@ -320,30 +367,48 @@ def _make_jacobi_pass_grouped(plan: SuperPlan, num_windows: int, *,
             interpret=interpret,
             **kwargs,
         )
+        fill = pl.pallas_call(
+            functools.partial(_w_fill_kernel, S=Sg, GB=gb, ROLES=a),
+            grid=(nstep,),
+            in_specs=[
+                slots_spec, rel_spec,
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=w_spec,
+            out_shape=jax.ShapeDtypeStruct((nbg * wrows, LANES),
+                                           jnp.float32),
+            interpret=interpret,
+        )
         calls.append(call)
+        fills.append(fill)
         tabs_all.append((
             jnp.asarray(plan.slots[b0:b1]),
             jnp.asarray(plan.rel[b0 * a * 8:b1 * a * 8]),
-            jnp.asarray(np.ascontiguousarray(
-                inv5[b0:b1, :Sg, :Dg]).reshape(nbg * Sg * Dg * 8, LANES)),
+            jnp.asarray(invr),
             jnp.asarray(plan.rest[b0 * 8:b1 * 8]),
             ktab,
         ))
         b0 = b1
+
+    def fill_w(x8, tables):
+        """Append the streamed inverse-mass tables (once per program)."""
+        return tuple(tabs[:5] + (fc(tabs[0], tabs[1], x8),)
+                     for fc, tabs in zip(fills, tables))
 
     def jacobi_pass(x8, k, omega, tables):
         scal = jnp.stack([jnp.asarray(k, jnp.float32),
                           jnp.asarray(omega, jnp.float32)]).reshape(1, 2)
         acc = None
         for gi, (call, tabs) in enumerate(zip(calls, tables)):
-            slots, rel, inv, rest, ktab = tabs
+            slots, rel, inv, rest, ktab, wtab = tabs
             if gi == 0:
-                acc = call(scal, slots, rel, inv, rest, ktab, x8)
+                acc = call(scal, slots, rel, inv, rest, ktab, wtab, x8)
             else:
-                acc = call(scal, slots, rel, inv, rest, ktab, x8, acc)
+                acc = call(scal, slots, rel, inv, rest, ktab, wtab, x8, acc)
         return acc
 
     jacobi_pass.tables = tuple(tabs_all)
+    jacobi_pass.fill_w = fill_w
     jacobi_pass.per_constraint = perk
     jacobi_pass.grouped = True
     return jacobi_pass
@@ -385,58 +450,20 @@ def make_jacobi_pass(plan: SuperPlan, num_windows: int, *,
         return _make_jacobi_pass_grouped(
             plan, num_windows, interpret=interpret,
             per_constraint_k=per_constraint_k, apply=apply)
-    S, DMAX = plan.nslots, plan.dmax
-    vpad = num_windows * LANES
-    gb = min(SUBBLOCKS, plan.num_super)   # small plans trim below SUBBLOCKS
-    nstep = plan.num_super // gb
-    kernel = _edge_pass_kernel if plan.arity == 2 else _tet_pass_kernel
-    perk = per_constraint_k is not None
-
-    from .sweep import pack_lambda
-
-    if perk:
-        k_table = pack_lambda(
-            plan, jnp.asarray(per_constraint_k, jnp.float32))
-        k_spec = pl.BlockSpec((gb * 8, LANES), lambda s: (s, 0),
-                              memory_space=pltpu.VMEM)
-    else:
-        # unused dummy tile (the kernel never reads it); index map pins to
-        # block 0 so no extra streaming happens
-        k_table = jnp.zeros((gb * 8, LANES), jnp.float32)
-        k_spec = pl.BlockSpec((gb * 8, LANES), lambda s: (0, 0),
-                              memory_space=pltpu.VMEM)
-
-    call = pl.pallas_call(
-        functools.partial(kernel, S=S, DMAX=DMAX, NSTEP=nstep, GB=gb,
-                          PERK=perk, FINAL=apply),
-        grid=(nstep,),
-        in_specs=[
-            pl.BlockSpec((1, 2), lambda s: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((gb, LANES), lambda s: (s, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((gb * plan.arity * 8, LANES), lambda s: (s, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((gb * S * DMAX * 8, LANES), lambda s: (s, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((gb * 8, LANES), lambda s: (s, 0),
-                         memory_space=pltpu.VMEM),
-            k_spec,
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((8, vpad), jnp.float32),
-        interpret=interpret,
-    )
+    # ungrouped: one synthetic group, flat contract, dense inv layout (the
+    # sharded path stacks per-device plan arrays directly)
+    g = _make_jacobi_pass_grouped(
+        plan, num_windows, interpret=interpret,
+        per_constraint_k=per_constraint_k, apply=apply, ragged=False)
 
     def jacobi_pass(x8, k, omega, tables):
-        scal = jnp.stack([jnp.asarray(k, jnp.float32),
-                          jnp.asarray(omega, jnp.float32)]).reshape(1, 2)
-        slots, rel, inv, rest, ktab = tables
-        return call(scal, slots, rel, inv, rest, ktab, x8)
+        return g(x8, k, omega, (tables,))
 
-    jacobi_pass.tables = (jnp.asarray(plan.slots), jnp.asarray(plan.rel),
-                          jnp.asarray(plan.inv), jnp.asarray(plan.rest),
-                          k_table)
-    jacobi_pass.per_constraint = perk
+    def fill_w(x8, tables):
+        return g.fill_w(x8, (tables,))[0]
+
+    jacobi_pass.tables = g.tables[0]
+    jacobi_pass.fill_w = fill_w
+    jacobi_pass.per_constraint = g.per_constraint
     jacobi_pass.grouped = False
     return jacobi_pass

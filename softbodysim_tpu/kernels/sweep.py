@@ -938,12 +938,61 @@ def _tet_kernel(alpha_ref, slots_ref, rel_ref, inv_ref, rest_ref,
                 _scatter_slot(xout_ref, wins[t], adds)
 
 
+def _slot_sort(plan: "SuperPlan") -> "SuperPlan":
+    """Reorder each super-block's slots descending by scatter-layer count.
+
+    Pure build-time transform (the persistent plan cache stores unsorted
+    plans; PACK_VERSION is unaffected): constraint order, perm, scale and
+    pos_of are untouched -- only the slot POSITIONS within each block are
+    permuted, with rel (slot bits) and inv (tile positions) rewritten to
+    match.  After sorting, the per-position layer maxima over a kernel
+    group form the tightest static ragged profile (PROF) the grouped
+    kernels can unroll."""
+    nb, S, D, a = plan.num_super, plan.nslots, plan.dmax, plan.arity
+    inv5 = plan.inv.reshape(nb, S, D, 8, LANES)
+    occ = inv5 >= 0
+    lay = occ.any(axis=(3, 4))                          # (nb, S, D)
+    d_bs = np.where(lay.any(axis=2),
+                    D - np.argmax(lay[:, :, ::-1], axis=2), 0)
+    used = plan.slots[:, S].astype(np.int64)
+    # sort only within the used-slot prefix (padding slots stay behind:
+    # gather validity needs every rel-referenced slot below the group cap)
+    key = np.where(np.arange(S)[None, :] < used[:, None], -d_bs, 1000)
+    order = np.argsort(key, axis=1, kind="stable")      # new pos -> old pos
+    newpos = np.argsort(order, axis=1)                  # old pos -> new pos
+    if np.array_equal(order, np.broadcast_to(np.arange(S), (nb, S))):
+        return plan
+    slots = plan.slots.copy()
+    slots[:, :S] = np.take_along_axis(plan.slots[:, :S], order, axis=1)
+    rel = plan.rel.reshape(nb, a * 8, LANES)
+    oldslot = (rel >> 7).astype(np.int64)
+    lane = rel & (LANES - 1)
+    ns = np.take_along_axis(
+        np.broadcast_to(newpos[:, None, :], (nb, a * 8, S)), oldslot, axis=2)
+    rel2 = (ns * LANES + lane).astype(np.int32).reshape(nb * a * 8, LANES)
+    inv2 = np.take_along_axis(inv5, order[:, :, None, None, None], axis=1)
+    return dataclasses.replace(
+        plan, slots=slots, rel=rel2,
+        inv=np.ascontiguousarray(inv2).reshape(nb * S * D * 8, LANES))
+
+
 # --------------------------------------------------------------------------
 # Super-block kernels: every VPU op covers 1024 constraints (sublane = the
 # 128-constraint sub-block).  Gather: one (8,128) window slice per slot,
 # per-component sublane broadcast + lane shuffle.  Scatter: per-sublane lane
 # shuffle from per-(role,comp) correction tiles, summed across sublanes, one
 # RMW per slot.
+#
+# v7 (round 3): inverse masses are NOT gathered per sweep.  They are static
+# across a step program (the kernels only write xyz rows), so a one-time
+# w-fill prologue kernel (make time: _w_fill_kernel; runtime: fill_w, once
+# per jitted program) materializes per-constraint wsum (edges) / per-role w
+# (tets) tables that then STREAM through the grid like rest/scale.  Measured
+# at north-star scale: edge sweep -8%, tet sweep -7%.  The scatter loop is
+# additionally RAGGED: slots are sorted per block by layer occupancy
+# (_slot_sort) and each kernel group unrolls per-slot-position layer counts
+# (PROF) instead of a flat (S x DMAX); all-empty (slot, layer) tiles
+# disappear statically (another ~3-4%).
 # --------------------------------------------------------------------------
 
 def _gather_super(xout_ref, wins, rel, S):
@@ -973,6 +1022,66 @@ def _gather_super(xout_ref, wins, rel, S):
     return ax, ay, az, aw
 
 
+def _gather_xyz(xout_ref, wins, rel, S):
+    """rel (8,128) -> ((8,128) x 3): xyz tiles for one role (w streamed)."""
+    lane = rel & (LANES - 1)
+    slot_of = rel >> 7
+    ax = ay = az = jnp.zeros((8, LANES), jnp.float32)
+    for t in range(S):
+        xw = xout_ref[:, pl.ds(wins[t] * LANES, LANES)]
+        val = slot_of == t
+        for c in range(3):
+            row = jnp.broadcast_to(xw[c:c + 1, :], (8, LANES))
+            g = jnp.take_along_axis(row, lane, axis=1)
+            if c == 0:
+                ax = jnp.where(val, g, ax)
+            elif c == 1:
+                ay = jnp.where(val, g, ay)
+            else:
+                az = jnp.where(val, g, az)
+    return ax, ay, az
+
+
+def _gather_w(xref, wins, rel, S):
+    """rel (8,128) -> (8,128) inverse-mass tile for one role."""
+    lane = rel & (LANES - 1)
+    slot_of = rel >> 7
+    aw = jnp.zeros((8, LANES), jnp.float32)
+    for t in range(S):
+        row = jnp.broadcast_to(
+            xref[3:4, pl.ds(wins[t] * LANES, LANES)], (8, LANES))
+        g = jnp.take_along_axis(row, lane, axis=1)
+        aw = jnp.where(slot_of == t, g, aw)
+    return aw
+
+
+def _w_fill_kernel(slots_ref, rel_ref, xin_ref, wout_ref, *, S, GB, ROLES):
+    """One-time prologue: gather per-constraint inverse masses from the
+    particle table into streamable tables.  Edges (ROLES=2) store the wsum
+    row per sub-block; tets (ROLES=4) store one row-block per role.
+
+    Pad lanes gather garbage (rel=0 -> window 0 lane 0) exactly like the
+    old in-sweep gathers did; they stay inert in the sweeps through the
+    geometry guards (zero-length edge / degenerate tet)."""
+    for sb in range(GB):
+        wins = [slots_ref[sb, t] for t in range(S)]
+        if ROLES == 2:
+            w0 = _gather_w(xin_ref, wins,
+                           rel_ref[(sb * 2) * 8:(sb * 2) * 8 + 8, :], S)
+            w1 = _gather_w(xin_ref, wins,
+                           rel_ref[(sb * 2 + 1) * 8:(sb * 2 + 1) * 8 + 8, :],
+                           S)
+            wout_ref[sb * 8:sb * 8 + 8, :] = w0 + w1
+        else:
+            for r in range(ROLES):
+                wr = _gather_w(
+                    xin_ref, wins,
+                    rel_ref[(sb * ROLES + r) * 8:(sb * ROLES + r) * 8 + 8, :],
+                    S)
+                row = (sb * ROLES + r) * 8
+                wout_ref[row:row + 8, :] = wr
+
+
 def _scatter_super(xout_ref, w, accx, accy, accz):
     """Sum (8,128) per-sublane contributions and RMW one window."""
     addx = jnp.sum(accx, axis=0, keepdims=True)
@@ -985,27 +1094,32 @@ def _scatter_super(xout_ref, w, accx, accy, accz):
 
 
 def _edge_kernel_super(alpha_ref, slots_ref, rel_ref, inv_ref, rest_ref,
-                       scale_ref, a_ref, lam_ref, xin_ref, xout_ref,
-                       lamout_ref, *, S, DMAX, GB, PERA):
+                       scale_ref, a_ref, w_ref, lam_ref, xin_ref, xout_ref,
+                       lamout_ref, *, S, PROF, GB, PERA):
     s = pl.program_id(0)
 
     @pl.when(s == 0)
     def _():
         xout_ref[:] = xin_ref[:]
 
+    sumd = max(1, sum(PROF))
+    off = [0]
+    for d in PROF:
+        off.append(off[-1] + d)
     alpha = alpha_ref[0, 0]
     for sb in range(GB):
         wins = [slots_ref[sb, t] for t in range(S)]
         r0 = rel_ref[(sb * 2) * 8:(sb * 2) * 8 + 8, :]
         r1 = rel_ref[(sb * 2 + 1) * 8:(sb * 2 + 1) * 8 + 8, :]
-        a0x, a0y, a0z, a0w = _gather_super(xout_ref, wins, r0, S)
-        a1x, a1y, a1z, a1w = _gather_super(xout_ref, wins, r1, S)
+        a0x, a0y, a0z = _gather_xyz(xout_ref, wins, r0, S)
+        a1x, a1y, a1z = _gather_xyz(xout_ref, wins, r1, S)
 
         dx = a0x - a1x
         dy = a0y - a1y
         dz = a0z - a1z
         length = jnp.sqrt(dx * dx + dy * dy + dz * dz)
-        wsum = a0w + a1w
+        # v7: wsum streamed (the w-fill prologue), not gathered per sweep
+        wsum = w_ref[sb * 8:sb * 8 + 8, :]
         valid = (wsum != 0.0) & (length >= 1e-12)
         c = length - rest_ref[sb * 8:sb * 8 + 8, :]
         lam = lam_ref[sb * 8:sb * 8 + 8, :]
@@ -1031,12 +1145,19 @@ def _edge_kernel_super(alpha_ref, slots_ref, rel_ref, inv_ref, rest_ref,
         # being written), so corr*w needs no per-role source tiles and no
         # role demux: factor = (+-1 presence) * w_target.  Exactly the old
         # arithmetic bit-for-bit (the +-1 and w multiplies are exact).
+        #
+        # v7 ragged layers: PROF[t] is slot position t's static layer count
+        # for this kernel group (slots pre-sorted by occupancy, _slot_sort);
+        # all-empty tiles are skipped at trace time, bit-identically (they
+        # contributed exact +0.0 through sf=0).
         for t in range(S):
+            if PROF[t] == 0:
+                continue
             w8 = jnp.broadcast_to(
                 xout_ref[3:4, pl.ds(wins[t] * LANES, LANES)], (8, LANES))
             accx = accy = accz = jnp.zeros((8, LANES), jnp.float32)
-            for l in range(DMAX):
-                row = ((sb * S + t) * DMAX + l) * 8
+            for l in range(PROF[t]):
+                row = (sb * sumd + off[t] + l) * 8
                 inv = inv_ref[row:row + 8, :]
                 jl = inv & (LANES - 1)           # -1 -> 127, masked by sf=0
                 sf = jnp.where(inv >= 0,
@@ -1053,14 +1174,18 @@ def _cross_c(ax, ay, az, bx, by, bz):
 
 
 def _tet_kernel_super(alpha_ref, slots_ref, rel_ref, inv_ref, rest_ref,
-                      scale_ref, a_ref, lam_ref, xin_ref, xout_ref,
-                      lamout_ref, *, S, DMAX, GB, PERA):
+                      scale_ref, a_ref, w_ref, lam_ref, xin_ref, xout_ref,
+                      lamout_ref, *, S, PROF, GB, PERA):
     s = pl.program_id(0)
 
     @pl.when(s == 0)
     def _():
         xout_ref[:] = xin_ref[:]
 
+    sumd = max(1, sum(PROF))
+    off = [0]
+    for d in PROF:
+        off.append(off[-1] + d)
     alpha = alpha_ref[0, 0]
     sixth = jnp.float32(1.0 / 6.0)
     for sb in range(GB):
@@ -1068,9 +1193,14 @@ def _tet_kernel_super(alpha_ref, slots_ref, rel_ref, inv_ref, rest_ref,
         acc = []
         for r in range(4):
             rel = rel_ref[(sb * 4 + r) * 8:(sb * 4 + r) * 8 + 8, :]
-            acc.append(_gather_super(xout_ref, wins, rel, S))
-        (pax, pay, paz, wa), (pbx, pby, pbz, wb), \
-            (pcx, pcy, pcz, wc), (pdx, pdy, pdz, wd) = acc
+            acc.append(_gather_xyz(xout_ref, wins, rel, S))
+        (pax, pay, paz), (pbx, pby, pbz), \
+            (pcx, pcy, pcz), (pdx, pdy, pdz) = acc
+        # v7: per-role inverse masses streamed (w-fill prologue)
+        wa = w_ref[(sb * 4 + 0) * 8:(sb * 4 + 0) * 8 + 8, :]
+        wb = w_ref[(sb * 4 + 1) * 8:(sb * 4 + 1) * 8 + 8, :]
+        wc = w_ref[(sb * 4 + 2) * 8:(sb * 4 + 2) * 8 + 8, :]
+        wd = w_ref[(sb * 4 + 3) * 8:(sb * 4 + 3) * 8 + 8, :]
 
         # gradients (Sim.cpp:132-173), per component
         gax, gay, gaz = _cross_c(pdx - pbx, pdy - pby, pdz - pbz,
@@ -1117,9 +1247,11 @@ def _tet_kernel_super(alpha_ref, slots_ref, rel_ref, inv_ref, rest_ref,
         # decoded straight off inv (no clip): -1 entries produce garbage
         # lane/odd/hi but the has-mask kills them.
         for t in range(S):
+            if PROF[t] == 0:
+                continue
             accs = [jnp.zeros((8, LANES), jnp.float32) for _ in range(3)]
-            for l in range(DMAX):
-                row = ((sb * S + t) * DMAX + l) * 8
+            for l in range(PROF[t]):
+                row = (sb * sumd + off[t] + l) * 8
                 inv = inv_ref[row:row + 8, :]
                 has = inv >= 0
                 hi = inv >= 2 * LANES
@@ -1144,39 +1276,72 @@ def _tet_kernel_super(alpha_ref, slots_ref, rel_ref, inv_ref, rest_ref,
 
 def _make_sweep_grouped(plan: SuperPlan, num_windows: int, *,
                         interpret: bool = False,
-                        per_constraint_alpha=None):
+                        per_constraint_alpha=None, ragged: bool = True):
     """Grouped build: one trimmed pallas_call per execution group.
 
     Groups run sequentially in block order, threading x8 -- exactly the
     plan's block-synchronous GS sequence, with each group's kernel unrolled
-    only to that group's (S_g, D_g) caps.  Lambdas travel as per-group
+    only to that group's slot/layer caps.  Lambdas travel as per-group
     stripe arrays (see split_lambda/join_lambda); the caller carries the
     tuple and joins only at the public boundary.
+
+    ragged=True (default): slots are sorted per block by layer occupancy
+    (_slot_sort) and each group's inv table is re-laid out to the group's
+    per-slot-position layer profile -- all-empty (slot, layer) tiles vanish
+    statically.  ragged=False keeps the dense (S, DMAX) layout (the SPMD
+    sharded path stacks per-device plan arrays directly and needs identical
+    shapes/indexing on every device).
+
+    The returned sweep is called ``sweep(x8, lam_stripes, alpha, tables)``
+    where ``tables`` must have been completed by ``sweep.fill_w(x8,
+    sweep.tables)`` once per jitted program: the fill runs the w prologue
+    kernel per group and appends the streamed inverse-mass table (wsum for
+    edges, per-role w for tets) to each group's static tuple.
     """
+    if ragged:
+        plan = _slot_sort(plan)
     S, D, a = plan.nslots, plan.dmax, plan.arity
     nb = plan.num_super
     vpad = num_windows * LANES
     kernel = _edge_kernel_super if a == 2 else _tet_kernel_super
+    wrows = 8 if a == 2 else 4 * 8
     pera = per_constraint_alpha is not None
     a_full = (pack_lambda(plan, jnp.maximum(
         jnp.asarray(per_constraint_alpha, jnp.float32), 0.0))
         if pera else None)
     inv5 = plan.inv.reshape(nb, S, D, 8, LANES)
+    occ5 = inv5 >= 0
 
-    calls, tabs_all = [], []
+    calls, fills, tabs_all = [], [], []
     b0 = 0
-    for nbg, Sg, Dg in plan.groups:
+    for nbg, Sg, Dg in plan.groups or ((nb, S, D),):
         b1 = b0 + nbg
         gb = min(SUBBLOCKS, nbg)
         nstep = nbg // gb
+        if ragged:
+            lay = occ5[b0:b1, :Sg].any(axis=(3, 4))     # (nbg, Sg, D)
+            d_bs = np.where(lay.any(axis=2),
+                            D - np.argmax(lay[:, :, ::-1], axis=2), 0)
+            prof = tuple(int(v) for v in d_bs.max(axis=0))
+            pieces = [inv5[b0:b1, t, :prof[t]]
+                      for t in range(Sg) if prof[t]]
+            invr = (np.concatenate(pieces, axis=1) if pieces
+                    else np.full((nbg, 1, 8, LANES), -1, np.int32))
+        else:
+            prof = (Dg,) * Sg
+            invr = inv5[b0:b1, :Sg, :Dg]
+        sumd = max(1, sum(prof))
+        invr = np.ascontiguousarray(invr).reshape(nbg * sumd * 8, LANES)
         slots_spec = pl.BlockSpec((gb, LANES), lambda s: (s, 0),
                                   memory_space=pltpu.SMEM)
         rel_spec = pl.BlockSpec((gb * a * 8, LANES), lambda s: (s, 0),
                                 memory_space=pltpu.VMEM)
-        inv_spec = pl.BlockSpec((gb * Sg * Dg * 8, LANES), lambda s: (s, 0),
+        inv_spec = pl.BlockSpec((gb * sumd * 8, LANES), lambda s: (s, 0),
                                 memory_space=pltpu.VMEM)
         data_spec = pl.BlockSpec((gb * 8, LANES), lambda s: (s, 0),
                                  memory_space=pltpu.VMEM)
+        w_spec = pl.BlockSpec((gb * wrows, LANES), lambda s: (s, 0),
+                              memory_space=pltpu.VMEM)
         if pera:
             atab = a_full[b0 * 8:b1 * 8]
             a_spec = data_spec
@@ -1185,13 +1350,13 @@ def _make_sweep_grouped(plan: SuperPlan, num_windows: int, *,
             a_spec = pl.BlockSpec((gb * 8, LANES), lambda s: (0, 0),
                                   memory_space=pltpu.VMEM)
         call = pl.pallas_call(
-            functools.partial(kernel, S=Sg, DMAX=Dg, GB=gb, PERA=pera),
+            functools.partial(kernel, S=Sg, PROF=prof, GB=gb, PERA=pera),
             grid=(nstep,),
             in_specs=[
                 pl.BlockSpec((1, 1), lambda s: (0, 0),
                              memory_space=pltpu.SMEM),
                 slots_spec, rel_spec, inv_spec, data_spec, data_spec,
-                a_spec, data_spec,
+                a_spec, w_spec, data_spec,
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
             out_specs=(
@@ -1204,29 +1369,47 @@ def _make_sweep_grouped(plan: SuperPlan, num_windows: int, *,
             ),
             interpret=interpret,
         )
+        fill = pl.pallas_call(
+            functools.partial(_w_fill_kernel, S=Sg, GB=gb, ROLES=a),
+            grid=(nstep,),
+            in_specs=[
+                slots_spec, rel_spec,
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=w_spec,
+            out_shape=jax.ShapeDtypeStruct((nbg * wrows, LANES),
+                                           jnp.float32),
+            interpret=interpret,
+        )
         calls.append(call)
+        fills.append(fill)
         tabs_all.append((
             jnp.asarray(plan.slots[b0:b1]),
             jnp.asarray(plan.rel[b0 * a * 8:b1 * a * 8]),
-            jnp.asarray(np.ascontiguousarray(
-                inv5[b0:b1, :Sg, :Dg]).reshape(nbg * Sg * Dg * 8, LANES)),
+            jnp.asarray(invr),
             jnp.asarray(plan.rest[b0 * 8:b1 * 8]),
             jnp.asarray(plan.scale[b0 * 8:b1 * 8]),
             atab,
         ))
         b0 = b1
 
+    def fill_w(x8, tables):
+        """Append the streamed inverse-mass tables (once per program)."""
+        return tuple(tabs[:6] + (fc(tabs[0], tabs[1], x8),)
+                     for fc, tabs in zip(fills, tables))
+
     def sweep(x8, lam_stripes, alpha, tables):
         alpha2 = jnp.asarray(alpha, jnp.float32).reshape(1, 1)
         outs = []
         for call, tabs, lam_g in zip(calls, tables, lam_stripes):
-            slots, rel, inv, rest, scale, atab = tabs
+            slots, rel, inv, rest, scale, atab, wtab = tabs
             x8, lam_o = call(alpha2, slots, rel, inv, rest, scale, atab,
-                             lam_g, x8)
+                             wtab, lam_g, x8)
             outs.append(lam_o)
         return x8, tuple(outs)
 
     sweep.tables = tuple(tabs_all)
+    sweep.fill_w = fill_w
     sweep.per_constraint = pera
     sweep.grouped = True
     return sweep
@@ -1263,7 +1446,11 @@ def make_sweep(plan, num_windows: int, *, interpret: bool = False,
     scale device arrays), threaded through the caller's jit as ARGUMENTS:
     at 100k-constraint scale the packed plans are >100 MB, and closure-
     captured tables would be lowered as HLO literals (~40 s of trace+lower
-    and a ~47 MB cache entry per program, measured).
+    and a ~47 MB cache entry per program, measured).  Before the first
+    sweep of a jitted program, complete them once with ``tables =
+    sweep.fill_w(x8, tables)`` -- the w-fill prologue appends the streamed
+    inverse-mass tables the v7 kernels consume (a no-op identity for the
+    legacy SweepPlan kernels).
 
     per_constraint_alpha: optional (N,) public-order COMPLIANCE per
     constraint (mixed-material merged scenes).  The traced alpha scalar is
@@ -1272,50 +1459,56 @@ def make_sweep(plan, num_windows: int, *, interpret: bool = False,
     Regrouped SuperPlans (regroup_plan) build one trimmed kernel per
     execution group; lambda then travels as a per-group stripe tuple
     (split_lambda/join_lambda convert to/from the packed array form).
+    Ungrouped SuperPlans keep the flat array contract (and the dense inv
+    layout -- the sharded path stacks per-device plan arrays directly).
     """
-    if isinstance(plan, SuperPlan) and plan.groups:
-        return _make_sweep_grouped(plan, num_windows, interpret=interpret,
-                                   per_constraint_alpha=per_constraint_alpha)
+    if isinstance(plan, SuperPlan):
+        if plan.groups:
+            return _make_sweep_grouped(
+                plan, num_windows, interpret=interpret,
+                per_constraint_alpha=per_constraint_alpha)
+        g = _make_sweep_grouped(
+            plan, num_windows, interpret=interpret,
+            per_constraint_alpha=per_constraint_alpha, ragged=False)
+
+        def sweep(x8, lam_packed, alpha, tables):
+            x8, (lam_o,) = g(x8, (lam_packed,), alpha, (tables,))
+            return x8, lam_o
+
+        def fill_w(x8, tables):
+            return g.fill_w(x8, (tables,))[0]
+
+        sweep.tables = g.tables[0]
+        sweep.fill_w = fill_w
+        sweep.per_constraint = g.per_constraint
+        sweep.grouped = False
+        return sweep
+
     S, DMAX = plan.nslots, plan.dmax
     vpad = num_windows * LANES
-    nb = plan.num_super if isinstance(plan, SuperPlan) else plan.num_blocks
+    nb = plan.num_blocks
     gb = min(SUBBLOCKS, nb)        # small plans are trimmed below SUBBLOCKS
-    if isinstance(plan, SuperPlan):
-        kernel = (_edge_kernel_super if plan.arity == 2
-                  else _tet_kernel_super)
-        nstep = plan.num_super // gb
-        lam_rows_ = plan.num_super * 8
-        slots_spec = pl.BlockSpec((gb, LANES), lambda s: (s, 0),
-                                  memory_space=pltpu.SMEM)
-        rel_spec = pl.BlockSpec((gb * plan.arity * 8, LANES),
-                                lambda s: (s, 0), memory_space=pltpu.VMEM)
-        inv_spec = pl.BlockSpec((gb * S * DMAX * 8, LANES), lambda s: (s, 0),
-                                memory_space=pltpu.VMEM)
-        data_spec = pl.BlockSpec((gb * 8, LANES), lambda s: (s, 0),
-                                 memory_space=pltpu.VMEM)
-    else:
-        kernel = _edge_kernel if plan.arity == 2 else _tet_kernel
-        nstep = plan.num_blocks // gb
-        lam_rows_ = plan.num_blocks
-        slots_spec = pl.BlockSpec((gb, 8), lambda s: (s, 0),
-                                  memory_space=pltpu.SMEM)
-        rel_spec = pl.BlockSpec((gb * plan.arity, LANES), lambda s: (s, 0),
-                                memory_space=pltpu.VMEM)
-        inv_spec = pl.BlockSpec((gb * S * DMAX, LANES), lambda s: (s, 0),
-                                memory_space=pltpu.VMEM)
-        data_spec = pl.BlockSpec((gb, LANES), lambda s: (s, 0),
-                                 memory_space=pltpu.VMEM)
+    kernel = _edge_kernel if plan.arity == 2 else _tet_kernel
+    nstep = plan.num_blocks // gb
+    lam_rows_ = plan.num_blocks
+    slots_spec = pl.BlockSpec((gb, 8), lambda s: (s, 0),
+                              memory_space=pltpu.SMEM)
+    rel_spec = pl.BlockSpec((gb * plan.arity, LANES), lambda s: (s, 0),
+                            memory_space=pltpu.VMEM)
+    inv_spec = pl.BlockSpec((gb * S * DMAX, LANES), lambda s: (s, 0),
+                            memory_space=pltpu.VMEM)
+    data_spec = pl.BlockSpec((gb, LANES), lambda s: (s, 0),
+                             memory_space=pltpu.VMEM)
 
     pera = per_constraint_alpha is not None
-    sub = 8 if isinstance(plan, SuperPlan) else 1
     if pera:
         a_table = pack_lambda(plan, jnp.maximum(
             jnp.asarray(per_constraint_alpha, jnp.float32), 0.0))
         a_spec = data_spec
     else:
         # unused dummy (kernel never reads it); pinned to block 0
-        a_table = jnp.zeros((gb * sub, LANES), jnp.float32)
-        a_spec = pl.BlockSpec((gb * sub, LANES), lambda s: (0, 0),
+        a_table = jnp.zeros((gb, LANES), jnp.float32)
+        a_spec = pl.BlockSpec((gb, LANES), lambda s: (0, 0),
                               memory_space=pltpu.VMEM)
 
     call = pl.pallas_call(
@@ -1347,6 +1540,7 @@ def make_sweep(plan, num_windows: int, *, interpret: bool = False,
     sweep.tables = (jnp.asarray(plan.slots), jnp.asarray(plan.rel),
                     jnp.asarray(plan.inv), jnp.asarray(plan.rest),
                     jnp.asarray(plan.scale), a_table)
+    sweep.fill_w = lambda x8, tables: tables   # legacy kernels gather w
     sweep.per_constraint = pera
     sweep.grouped = False
     return sweep

@@ -170,6 +170,13 @@ def make_jacobi_pallas_step(topology, params: SolverParams,
         ss = max(1, params.substeps)
         sdt = jnp.asarray(dt, jnp.float32) / ss
 
+        # v7 w-fill prologue: inverse masses are invariant across the whole
+        # program, so the streamed w tables are materialized ONCE here
+        if has_edges:
+            e_tabs = edge_pass.fill_w(carry[0], e_tabs)
+        if has_tets:
+            t_tabs = tet_pass.fill_w(carry[0], t_tabs)
+
         def one_step(c, _):
             def one_sub(c2, _):
                 return substep(c2, sdt, k_edge, k_vol, omega, cols_rt,

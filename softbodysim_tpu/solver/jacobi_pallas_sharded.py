@@ -124,18 +124,25 @@ def make_jacobi_pallas_sharded_step(topology, params: SolverParams,
     old2new_j = jnp.asarray(old2new)
 
     # ---- sharded pass: halo in, accumulate, home, apply ------------------
-    def sharded_pass(fam: _Family, x8, k, om, tabs, statics):
+    def _build_ext(fam: _Family, x8, statics):
+        """Local windows + all-gathered ghost windows (one halo exchange)."""
         (gather_src, ghost_mask, inc_src, inc_tgt, inc_mask,
          export_idx) = statics
-        # 1. export boundary windows (frozen snapshot)
         xw = x8.reshape(8, wd, LANES)
         exported = jnp.take(xw, export_idx, axis=1)        # (8, emax, 128)
         allw = jax.lax.all_gather(exported, axis)          # (D, 8, emax, 128)
         flat = allw.transpose(1, 0, 2, 3).reshape(8, D * fam.emax, LANES)
         ghosts = jnp.take(flat, gather_src, axis=1)        # (8, gmax, 128)
         ghosts = jnp.where(ghost_mask[None, :, None], ghosts, 0.0)
-        x_ext = jnp.concatenate([xw, ghosts], axis=1).reshape(
+        return jnp.concatenate([xw, ghosts], axis=1).reshape(
             8, (wd + fam.gmax) * LANES)
+
+    def sharded_pass(fam: _Family, x8, k, om, tabs, statics):
+        (gather_src, ghost_mask, inc_src, inc_tgt, inc_mask,
+         export_idx) = statics
+        xw = x8.reshape(8, wd, LANES)
+        # 1. export boundary windows (frozen snapshot)
+        x_ext = _build_ext(fam, x8, statics)
         # 2. accumulate (epilogue withheld: apply=False kernel)
         acc = fam.sweep(x_ext, k, om, tabs).reshape(
             8, wd + fam.gmax, LANES)
@@ -182,6 +189,14 @@ def make_jacobi_pallas_sharded_step(topology, params: SolverParams,
             sq = lambda tup: tuple(a[0] for a in tup)
             e_tabs2 = (sq(e_tabs[:4]) + (e_tabs[4],)) if efam else None
             t_tabs2 = (sq(t_tabs[:4]) + (t_tabs[4],)) if tfam else None
+            # v7 w-fill prologue (once per program): inverse masses are
+            # invariant, including the all-gathered ghost windows' w rows
+            if efam is not None:
+                e_tabs2 = efam.sweep.fill_w(
+                    _build_ext(efam, x8, sq(e_st)), e_tabs2)
+            if tfam is not None:
+                t_tabs2 = tfam.sweep.fill_w(
+                    _build_ext(tfam, x8, sq(t_st)), t_tabs2)
             e_st2 = sq(e_st) if efam is not None else None
             t_st2 = sq(t_st) if tfam is not None else None
             ss = max(1, params.substeps)

@@ -297,21 +297,31 @@ def _make_seg_sweep(segplan: _SegPlan, interpret: bool, alpha_pub=None):
         sweeps.append(call)
         tabs_all.append((call.tables, jnp.asarray(seg.gw, jnp.int32)))
 
+    def _ext(seg, x8, gw):
+        """Segment-local table: own windows + gathered ghost windows."""
+        c0 = seg.w0 * LANES
+        own = x8[:, c0:c0 + ws * LANES]
+        if not seg.ngw:
+            return own
+        xw = x8.reshape(8, nwin, LANES)
+        ghosts = jnp.take(xw, gw, axis=1)
+        return jnp.concatenate(
+            [own.reshape(8, ws, LANES), ghosts],
+            axis=1).reshape(8, (ws + seg.ngw) * LANES)
+
+    def fill_w(x8, tables):
+        """Per-segment w-fill (once per program; w rows never change)."""
+        out = []
+        for seg, call, (ktabs, gw) in zip(segplan.segs, sweeps, tables):
+            out.append((call.fill_w(_ext(seg, x8, gw), ktabs), gw))
+        return tuple(out)
+
     def sweep(x8, lam_segs, alpha, tables):
         outs = []
         for seg, call, (ktabs, gw), lam in zip(segplan.segs, sweeps,
                                                tables, lam_segs):
             c0 = seg.w0 * LANES
-            own = x8[:, c0:c0 + ws * LANES]
-            if seg.ngw:
-                xw = x8.reshape(8, nwin, LANES)
-                ghosts = jnp.take(xw, gw, axis=1)
-                x_ext = jnp.concatenate(
-                    [own.reshape(8, ws, LANES), ghosts],
-                    axis=1).reshape(8, (ws + seg.ngw) * LANES)
-            else:
-                x_ext = own
-            x_ext, lam_o = call(x_ext, lam, alpha, ktabs)
+            x_ext, lam_o = call(_ext(seg, x8, gw), lam, alpha, ktabs)
             x_ext = x_ext.reshape(8, ws + seg.ngw, LANES)
             x8 = x8.at[:, c0:c0 + ws * LANES].set(
                 x_ext[:, :ws].reshape(8, ws * LANES))
@@ -323,6 +333,7 @@ def _make_seg_sweep(segplan: _SegPlan, interpret: bool, alpha_pub=None):
         return x8, tuple(outs)
 
     sweep.tables = tuple(tabs_all)
+    sweep.fill_w = fill_w
     sweep.grouped = True
     sweep.segmented = True
     return sweep
@@ -541,6 +552,14 @@ def make_xpbd_pallas_step(topology, params: SolverParams,
         inv_dt2 = jnp.where(sdt > 1e-12, 1.0 / (sdt * sdt), 0.0)
         e_alpha = jnp.maximum(ec, 0.0) * inv_dt2
         t_alpha = jnp.maximum(vc, 0.0) * inv_dt2
+
+        # v7 w-fill prologue: inverse masses are invariant across the whole
+        # program (kernels only write xyz rows), so the streamed w tables
+        # are materialized ONCE here, not per sweep.
+        if has_edges:
+            e_tabs = edge_sweep.fill_w(carry[0], e_tabs)
+        if has_tets:
+            t_tabs = tet_sweep.fill_w(carry[0], t_tabs)
 
         def one_step(c, _):
             def one_sub(c2, _):

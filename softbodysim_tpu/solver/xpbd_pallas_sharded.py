@@ -340,10 +340,10 @@ def make_xpbd_pallas_sharded_step(topology, params: SolverParams,
     old2new_j = jnp.asarray(old2new)
 
     # ---- sharded sweep with halo exchange (runs inside shard_map) --------
-    def sharded_sweep(fam: _Family, x8, lam, alpha, tabs, statics):
+    def _build_ext(fam: _Family, x8, statics):
+        """Local windows + all-gathered ghost windows (one halo exchange)."""
         (gather_src, ghost_mask, inc_src, inc_tgt, inc_mask,
          export_idx) = statics
-        # 1. export boundary windows (all devices, same program)
         xw = x8.reshape(8, wd, LANES)
         exported = jnp.take(xw, export_idx, axis=1)        # (8, emax, 128)
         allw = jax.lax.all_gather(exported, axis)          # (D, 8, emax, 128)
@@ -352,6 +352,13 @@ def make_xpbd_pallas_sharded_step(topology, params: SolverParams,
         ghosts = jnp.where(ghost_mask[None, :, None], ghosts, 0.0)
         x_ext = jnp.concatenate([xw, ghosts], axis=1).reshape(
             8, (wd + fam.gmax) * LANES)
+        return x_ext, ghosts
+
+    def sharded_sweep(fam: _Family, x8, lam, alpha, tabs, statics):
+        (gather_src, ghost_mask, inc_src, inc_tgt, inc_mask,
+         export_idx) = statics
+        # 1. export boundary windows (all devices, same program)
+        x_ext, ghosts = _build_ext(fam, x8, statics)
         # 2. local block-sequential sweep (unmodified kernel)
         x_ext, lam = fam.sweep(x_ext, lam, alpha, tabs)
         x_ext = x_ext.reshape(8, wd + fam.gmax, LANES)
@@ -415,6 +422,14 @@ def make_xpbd_pallas_sharded_step(topology, params: SolverParams,
             t_tabs2 = (sq(t_tabs[:5]) + (t_tabs[5],)) if tfam else None
             e_st2 = sq(e_st) if efam is not None else None
             t_st2 = sq(t_st) if tfam is not None else None
+            # v7 w-fill prologue (once per program): inverse masses are
+            # invariant, including the all-gathered ghost windows' w rows
+            if efam is not None:
+                e_tabs2 = efam.sweep.fill_w(
+                    _build_ext(efam, x8, e_st2)[0], e_tabs2)
+            if tfam is not None:
+                t_tabs2 = tfam.sweep.fill_w(
+                    _build_ext(tfam, x8, t_st2)[0], t_tabs2)
             ss = max(1, params.substeps)
 
             def substep(carry, _):

@@ -6,9 +6,14 @@ the pass is a single gather+apply stage with a (delta, cnt) accumulator:
 grouping splits it into one trimmed kernel per execution group, threading
 the accumulator table through the sequence (group 0 zeroes, last group
 applies the epilogue).  Jacobi reads one frozen snapshot, so block order
-never matters physically -- but the grouped chain must still be
-BIT-IDENTICAL to the single full-config kernel on the same permuted plan
-(same per-window RMW sequence, same epilogue).
+never matters physically -- the grouped chain must reproduce the single
+full-config kernel on the same permuted plan up to fp reassociation: the
+v7 ragged grouped kernels unroll per-slot-position layer profiles, so
+XLA compiles a different (shorter) op sequence than the dense ungrouped
+kernel and sums can associate differently at the ULP level.  The
+contribution MAPPING stays exact (the cnt accumulator row is integral
+and bit-identical -- verified while landing v7); positions agree to
+~1e-6.
 
 Step counts are small: interpret-mode pallas is ~seconds per sim step
 (see test_jacobi_pallas.py docstring).
@@ -43,7 +48,7 @@ def _plan_for(topo, family):
 
 
 @pytest.mark.parametrize("family", ["edge", "tet"])
-def test_grouped_jacobi_pass_bit_identical(family):
+def test_grouped_jacobi_pass_matches_ungrouped(family):
     topo = meshes.tet_cube(15, 15, 15, size=1.0, center=(0.0, 2.0, 0.0))
     plan, nwin = _plan_for(topo, family)
     g = sw.regroup_plan(plan, min_blocks=1)
@@ -66,9 +71,13 @@ def test_grouped_jacobi_pass_bit_identical(family):
     k = jnp.float32(0.7)
     om = jnp.float32(1.4)
     for _ in range(2):
-        x8g = p_g(x8g, k, om, p_g.tables)
-        x8u = p_u(x8u, k, om, p_u.tables)
-    assert np.array_equal(np.asarray(x8g), np.asarray(x8u))
+        x8g = p_g(x8g, k, om, p_g.fill_w(x8g, p_g.tables))
+        x8u = p_u(x8u, k, om, p_u.fill_w(x8u, p_u.tables))
+    # rows 3-7 (masses + passthrough) stay bit-exact; positions agree up
+    # to reassociation noise (module docstring).
+    g_np, u_np = np.asarray(x8g), np.asarray(x8u)
+    assert np.array_equal(g_np[3:], u_np[3:])
+    np.testing.assert_allclose(g_np[0:3], u_np[0:3], rtol=1e-6, atol=1e-6)
 
 
 def test_grouped_full_step_matches_oracle(monkeypatch):

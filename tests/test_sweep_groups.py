@@ -102,9 +102,11 @@ def test_grouped_sweep_bit_identical(family):
     lam_g = sw.split_lambda(g, lam_u)
     assert isinstance(lam_g, tuple) and len(lam_g) == len(g.groups)
     alpha = jnp.float32(1e-4)
+    tabs_g = s_g.fill_w(x8g, s_g.tables)   # v7 streamed-w prologue
+    tabs_u = s_u.fill_w(x8u, s_u.tables)
     for _ in range(2):
-        x8g, lam_g = s_g(x8g, lam_g, alpha, s_g.tables)
-        x8u, lam_u = s_u(x8u, lam_u, alpha, s_u.tables)
+        x8g, lam_g = s_g(x8g, lam_g, alpha, tabs_g)
+        x8u, lam_u = s_u(x8u, lam_u, alpha, tabs_u)
     joined = sw.join_lambda(g, lam_g)
     assert np.array_equal(np.asarray(x8g), np.asarray(x8u))
     assert np.array_equal(np.asarray(joined), np.asarray(lam_u))
