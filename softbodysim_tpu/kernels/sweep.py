@@ -1148,8 +1148,11 @@ def _edge_kernel_super(alpha_ref, slots_ref, rel_ref, inv_ref, rest_ref,
         #
         # v7 ragged layers: PROF[t] is slot position t's static layer count
         # for this kernel group (slots pre-sorted by occupancy, _slot_sort);
-        # all-empty tiles are skipped at trace time, bit-identically (they
-        # contributed exact +0.0 through sf=0).
+        # all-empty tiles are skipped at trace time.  The skipped tiles
+        # contributed exact +0.0 (sf=0), but the shorter op sequence lets
+        # XLA associate the surviving sums differently -- expect ULP-level
+        # deviation from the dense kernel, with an exact contribution
+        # mapping (tests/test_sweep_groups.py, test_jacobi_groups.py).
         for t in range(S):
             if PROF[t] == 0:
                 continue

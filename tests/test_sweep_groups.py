@@ -9,9 +9,13 @@ kernel per run.  The contract under test:
    same per-lane scale/rest, consistent perm/pos_of) -- only block ORDER
    changes, and every block lands in a group whose (S_g, D_g) dominates its
    needs.
-2. Grouped execution is BIT-IDENTICAL to running the same (permuted) plan
-   through the single full-config kernel: the groups thread x8 sequentially
-   in block order, which is exactly the block-synchronous GS sequence.
+2. Grouped execution reproduces the single full-config kernel on the same
+   (permuted) plan: the groups thread x8 sequentially in block order,
+   which is exactly the block-synchronous GS sequence.  Since v7 the
+   grouped kernels are RAGGED (per-slot layer profiles), a different
+   static op sequence -- XLA may associate the sums differently at the
+   ULP level, so the contract is exact mapping + 1e-6 values (see the
+   note on the test).
 
 Block order itself is allowed to change vs the ungrouped pack (same class of
 reordering as the coloring/packing choices; the oracle replays whatever the
@@ -79,7 +83,14 @@ def test_regroup_preserves_schedule(family):
 
 
 @pytest.mark.parametrize("family", ["edge", "tet"])
-def test_grouped_sweep_bit_identical(family):
+def test_grouped_sweep_matches_ungrouped(family):
+    # NOTE on tolerance: the v7 ragged grouped kernels unroll per-slot
+    # layer profiles, so XLA compiles a different (shorter) op sequence
+    # than the dense ungrouped kernel and sums MAY associate differently
+    # at the ULP level (observed on the jacobi twin of this test,
+    # test_jacobi_groups.py).  The mapping is exact; allow reassociation
+    # noise on positions/lambdas, keep rows 3-7 (masses/passthrough)
+    # bit-exact.
     topo = meshes.tet_cube(15, 15, 15, size=1.0, center=(0.0, 2.0, 0.0))
     plan, nwin = _plan_for(topo, family)
     g = sw.regroup_plan(plan, min_blocks=1)
@@ -108,8 +119,11 @@ def test_grouped_sweep_bit_identical(family):
         x8g, lam_g = s_g(x8g, lam_g, alpha, tabs_g)
         x8u, lam_u = s_u(x8u, lam_u, alpha, tabs_u)
     joined = sw.join_lambda(g, lam_g)
-    assert np.array_equal(np.asarray(x8g), np.asarray(x8u))
-    assert np.array_equal(np.asarray(joined), np.asarray(lam_u))
+    g_np, u_np = np.asarray(x8g), np.asarray(x8u)
+    assert np.array_equal(g_np[3:], u_np[3:])
+    np.testing.assert_allclose(g_np[0:3], u_np[0:3], rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(joined), np.asarray(lam_u),
+                               rtol=1e-6, atol=1e-6)
 
 
 def test_grouped_full_step_matches_block_oracle(monkeypatch):
