@@ -227,7 +227,6 @@ def make_jacobi_step(topology, params: SolverParams,
     # Thresholds measured on TPU v5e.
     backend = params.jacobi_backend
     pallas_ok = (local_to_world is None and not params.chebyshev
-                 and not params.self_collision
                  and not params.surface_collision)
     if backend == "auto":
         # measured on v5e (fused 20-step programs): gather beats segment at
@@ -243,7 +242,7 @@ def make_jacobi_step(topology, params: SolverParams,
         if not pallas_ok:
             raise ValueError(
                 "jacobi_backend='pallas' does not support local-space "
-                "transforms, chebyshev, self_collision or surface_collision "
+                "transforms, chebyshev or surface_collision "
                 "-- use 'gather' (or 'auto', which falls back)")
         from .jacobi_pallas import make_jacobi_pallas_step
         return make_jacobi_pallas_step(topology, params, colliders,

@@ -9,9 +9,13 @@ Jacobi reads one snapshot per pass, so this matches the segment/gather
 backends (and tests/oracle.py::JacobiOracle) up to fp32 summation order.
 
 Supported feature set (the scene hot path): ground plane, primitive
-colliders (static or per-step poses), stiffness/omega overrides.  Bodies
-with local-space transforms, Chebyshev acceleration, self- or surface-
-collision fall back to the XLA backends (solver/jacobi.py routes them).
+colliders (static or per-step poses), stiffness/omega overrides, and
+spatial-hash self/inter-body collision (the XLA hash stage from
+solver/spatial.py runs between the Pallas passes on the permuted row
+layout -- hashing is vertex-order agnostic, dead layout lanes are
+statically isolated far from the scene).  Bodies with local-space
+transforms, Chebyshev acceleration, or surface collision fall back to
+the XLA backends (solver/jacobi.py routes them).
 """
 
 from __future__ import annotations
@@ -27,6 +31,7 @@ from ..collide.primitives import (
     Colliders, collide_particles, project_ground_plane)
 from ..kernels import sweep as sw
 from ..kernels.jacobi import make_jacobi_pass
+from .spatial import make_self_collision_fn
 from .xpbd_pallas import _cached_plans
 
 LANES = 128
@@ -78,9 +83,12 @@ def make_jacobi_pallas_step(topology, params: SolverParams,
     if has_tets:
         tet_pass = make_jacobi_pass(t_plan, nwin, interpret=interpret,
                                     per_constraint_k=tet_k)
-    tables = (edge_pass.tables if has_edges else (),
-              tet_pass.tables if has_tets else (),
-              jnp.asarray(perm), jnp.asarray(old2new))
+    # iso rides the tables tuple (appended after self_collide is built
+    # below) so it enters the jit as an argument, never a closure constant
+    # (12 MB of HLO literal at 1M particles otherwise).
+    base_tables = (edge_pass.tables if has_edges else (),
+                   tet_pass.tables if has_tets else (),
+                   jnp.asarray(perm), jnp.asarray(old2new))
     gravity = jnp.asarray(params.gravity, jnp.float32)
     radius = max(1e-6, params.particle_radius)
     ground_point = jnp.asarray(params.ground_point, jnp.float32)
@@ -91,6 +99,27 @@ def make_jacobi_pallas_step(topology, params: SolverParams,
         else np.array([0.0, 1.0, 0.0], np.float32))
     k_colliders = 0 if colliders is None else colliders.count
     do_collide = params.ground_enabled or k_colliders > 0
+
+    # Spatial-hash self/inter-body collision (solver/spatial.py) on the
+    # permuted layout: hashing only reads positions, so vertex order is
+    # irrelevant.  Dead layout lanes (perm == V: tail pad + component-
+    # alignment gaps) sit at the sentinel origin and would otherwise shove
+    # nearby live particles, so a static offset table parks each dead lane
+    # in its own far-away hash cell (> one cell AND > 2*radius apart).
+    # Results match the XLA backends' hit set exactly when max_per_cell
+    # does not truncate; summation order differs at the fp32 ULP level.
+    self_collide = (make_self_collision_fn(params) if params.self_collision
+                    else None)
+    iso = jnp.zeros((3, 0), jnp.float32)
+    if self_collide is not None:
+        cell = float(params.self_collision_cell)
+        spacing = 2.0 * max(cell, 2.0 * radius)
+        dead = np.asarray(perm) == V
+        iso_np = np.zeros((3, vpad), np.float32)
+        iso_np[0] = np.where(
+            dead, np.float32(1e6) * cell + np.arange(vpad) * spacing, 0.0)
+        iso = jnp.asarray(iso_np)
+    tables = base_tables + (iso,)
 
     # ---- public <-> internal layout --------------------------------------
     # perm entries == V are dead slots (tail pad + component-alignment
@@ -140,7 +169,8 @@ def make_jacobi_pallas_step(topology, params: SolverParams,
             p, radius, cols_rt if cols_rt is not None else colliders)
         return x8.at[0:3].set(jnp.where(free, p.T, x8[0:3]))
 
-    def substep(carry, sdt, k_edge, k_vol, omega, cols_rt, e_tabs, t_tabs):
+    def substep(carry, sdt, k_edge, k_vol, omega, cols_rt, e_tabs, t_tabs,
+                iso_t):
         x8, vv = carry
         # PreSolve (SoftBodySolver.cs:349-362)
         free = x8[3:4] != 0.0
@@ -155,6 +185,13 @@ def make_jacobi_pallas_step(topology, params: SolverParams,
                 x8 = tet_pass(x8, k_vol, omega, t_tabs)
             if do_collide:
                 x8 = collide(x8, cols_rt)
+            if self_collide is not None:
+                # same per-iteration slot as the XLA backends' stage order
+                # (edge -> tet -> ground/colliders -> self); live lanes have
+                # iso == 0, dead/pinned lanes (w == 0) are never written
+                p = self_collide((x8[0:3] + iso_t).T, x8[3], radius)
+                x8 = x8.at[0:3].set(
+                    jnp.where(x8[3] != 0.0, p.T, x8[0:3]))
             return x8, None
 
         x8, _ = jax.lax.scan(iteration, x8, None,
@@ -166,7 +203,7 @@ def make_jacobi_pallas_step(topology, params: SolverParams,
         return (x8, vv)
 
     def _run_rows(carry, dt, n, k_edge, k_vol, omega, cols_rt,
-                  e_tabs, t_tabs):
+                  e_tabs, t_tabs, iso_t):
         ss = max(1, params.substeps)
         sdt = jnp.asarray(dt, jnp.float32) / ss
 
@@ -180,7 +217,7 @@ def make_jacobi_pallas_step(topology, params: SolverParams,
         def one_step(c, _):
             def one_sub(c2, _):
                 return substep(c2, sdt, k_edge, k_vol, omega, cols_rt,
-                               e_tabs, t_tabs), None
+                               e_tabs, t_tabs, iso_t), None
             c, _ = jax.lax.scan(one_sub, c, None, length=ss)
             return c, None
 
@@ -188,10 +225,10 @@ def make_jacobi_pallas_step(topology, params: SolverParams,
         return carry
 
     def _run(tables, state, dt, n, k_edge, k_vol, omega, cols_rt):
-        e_tabs, t_tabs, perm_j, old2new_j = tables
+        e_tabs, t_tabs, perm_j, old2new_j, iso_t = tables
         carry = to_rows(state, perm_j)
         carry = _run_rows(carry, dt, n, k_edge, k_vol, omega, cols_rt,
-                          e_tabs, t_tabs)
+                          e_tabs, t_tabs, iso_t)
         return to_public(carry, state, old2new_j)
 
     _jit_run = jax.jit(_run, static_argnums=3, donate_argnums=1)
@@ -208,7 +245,7 @@ def make_jacobi_pallas_step(topology, params: SolverParams,
 
     def _run_c(tables, carry, dt, n, k_edge, k_vol, omega, cols_rt):
         return _run_rows(carry, dt, n, k_edge, k_vol, omega, cols_rt,
-                         tables[0], tables[1])
+                         tables[0], tables[1], tables[4])
 
     def _unpack(tables, carry, state):
         return to_public(carry, state, tables[3])

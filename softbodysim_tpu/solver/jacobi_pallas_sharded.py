@@ -69,6 +69,11 @@ def make_jacobi_pallas_sharded_step(topology, params: SolverParams,
         interpret = jax.default_backend() != "tpu"
     if params.dialect != "jacobi":
         raise ValueError("sharded jacobi path implements the jacobi dialect")
+    if params.self_collision or params.surface_collision:
+        raise ValueError(
+            "sharded jacobi path does not support self/surface collision "
+            "(the spatial hash is a global stage; use the single-device "
+            "pallas backend)")
 
     D = mesh.shape[axis]
     V = topology.num_particles

@@ -17,6 +17,13 @@ Fully jit-compatible design (static shapes, no host sync):
      accumulated Jacobi-style and applied once.
 
 Hash collisions only add false candidates -- the distance test filters them.
+
+Degenerate-input caveat: EXACTLY coincident particles (dist2 == 0, e.g. two
+merged bodies whose lattices interpenetrate node-on-node at rest) are skipped
+by the ``dist2 > 1e-18`` guard -- there is no defined push direction.  Once
+fp noise separates such a pair by >1e-9 the full-overlap push fires in the
+noise direction, so backends with different fp summation orders legitimately
+diverge on such configs.  Don't start bodies coincident; offset the lattices.
 """
 
 from __future__ import annotations

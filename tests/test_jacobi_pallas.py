@@ -121,7 +121,7 @@ def test_pallas_rejects_unsupported_features():
     from softbodysim_tpu.solver import make_step
 
     with pytest.raises(ValueError):
-        make_step(topo, _params(self_collision=True))
+        make_step(topo, _params(surface_collision=True))
 
 
 def test_merged_scene_matches_separate_bodies():
@@ -194,3 +194,29 @@ def test_engine_run_chunking_matches_step_loop():
     for _ in range(9):
         b.step(DT)
     np.testing.assert_allclose(a.positions(), b.positions(), atol=1e-6)
+
+
+def test_self_collision_matches_gather_backend():
+    """Spatial-hash self-collision runs between the Pallas passes on the
+    permuted row layout (dead lanes statically isolated) and matches the
+    XLA gather backend.  particle_radius > lattice spacing so bonded
+    neighbors overlap and the stage fires from step one; max_per_cell
+    covers every possible hash bucket on BOTH layouts (V=64 public,
+    vpad=128 permuted incl. dead lanes) so the hit sets are identical and
+    only fp32 summation order differs."""
+    topo = meshes.tet_cube(3, 3, 3, size=0.5, center=(0.0, 0.3, 0.0))
+    kw = dict(particle_radius=0.15, self_collision=True,
+              self_collision_cell=0.3, self_collision_max_per_cell=128)
+    a = Engine(topo, _params(**kw))
+    b = Engine(topo, _params(jacobi_backend="gather", **kw))
+    c = Engine(topo, _params(jacobi_backend="gather",
+                             particle_radius=0.15))   # stage-off control
+    for _ in range(12):
+        a.step(DT)
+        b.step(DT)
+        c.step(DT)
+    # the stage did something (min_dist 2*0.15 > lattice spacing 0.167 =>
+    # immediate neighbor push-out), and both backends agree on what
+    assert np.abs(b.positions() - c.positions()).max() > 1e-3
+    np.testing.assert_allclose(a.positions(), b.positions(), atol=2e-5)
+    np.testing.assert_allclose(a.velocities(), b.velocities(), atol=2e-3)
