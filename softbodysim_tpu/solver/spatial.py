@@ -61,6 +61,12 @@ def self_collision_deltas(p, inv_mass, radius, cell_size, max_per_cell,
     entries that did NOT fit the fixed ``max_per_cell`` window (an int32
     scalar, device-side).  Non-zero overflow means contacts were silently
     under-resolved this step -- resize with ``required_max_per_cell``.
+
+    Memory note: the candidate tensors are materialized per neighbor-cell
+    OFFSET (a ``lax.scan`` over the 27 offsets), so the peak working set is
+    O(N * max_per_cell), NOT O(N * 27 * max_per_cell) -- the flat form
+    allocates 72 GB at 110k particles / cap 47 and cannot run at scale.
+    The hit set is identical; only the fp summation order differs.
     """
     n = p.shape[0]
     table_size = _next_pow2(2 * n)
@@ -88,32 +94,36 @@ def self_collision_deltas(p, inv_mass, radius, cell_size, max_per_cell,
     end = end.reshape(n, 27)
 
     slot = jnp.arange(max_per_cell, dtype=jnp.int32)        # (M,)
-    cand_pos = start[:, :, None] + slot[None, None, :]      # (N, 27, M)
-    cand_valid = (cand_pos < end[:, :, None]) & (~dup[:, :, None])
-    cand_pos = jnp.clip(cand_pos, 0, n - 1)
-    cand = order[cand_pos]                                  # particle ids
-
-    pi = p[:, None, None, :]
-    pj = p[cand]
-    d = pi - pj
-    dist2 = jnp.sum(d * d, axis=-1)
-
     min_dist = 2.0 * radius
-    self_pair = cand == jnp.arange(n, dtype=cand.dtype)[:, None, None]
-    hit = cand_valid & (~self_pair) & (dist2 < min_dist * min_dist) & (
-        dist2 > 1e-18)
+    own = jnp.arange(n, dtype=order.dtype)
 
-    dist = jnp.sqrt(jnp.maximum(dist2, 1e-18))
-    nvec = d / dist[..., None]
+    def one_offset(acc, inp):
+        s, e, dp = inp                                      # (N,) each
+        cand_pos = s[:, None] + slot[None, :]               # (N, M)
+        cand_valid = (cand_pos < e[:, None]) & (~dp[:, None])
+        cand = order[jnp.clip(cand_pos, 0, n - 1)]          # particle ids
 
-    wi = inv_mass[:, None, None]
-    wj = inv_mass[cand]
-    wsum = wi + wj
-    share = jnp.where(wsum > 0.0, wi / jnp.where(wsum == 0.0, 1.0, wsum), 0.0)
+        d = p[:, None, :] - p[cand]
+        dist2 = jnp.sum(d * d, axis=-1)
+        hit = cand_valid & (cand != own[:, None]) & (
+            dist2 < min_dist * min_dist) & (dist2 > 1e-18)
 
-    overlap = (min_dist - dist) * share
-    push = nvec * jnp.where(hit, overlap, 0.0)[..., None]
-    deltas = jnp.sum(push, axis=(1, 2))
+        dist = jnp.sqrt(jnp.maximum(dist2, 1e-18))
+        nvec = d / dist[..., None]
+
+        wi = inv_mass[:, None]
+        wj = inv_mass[cand]
+        wsum = wi + wj
+        share = jnp.where(
+            wsum > 0.0, wi / jnp.where(wsum == 0.0, 1.0, wsum), 0.0)
+
+        overlap = (min_dist - dist) * share
+        push = nvec * jnp.where(hit, overlap, 0.0)[..., None]
+        return acc + jnp.sum(push, axis=1), None
+
+    deltas, _ = jax.lax.scan(
+        one_offset, jnp.zeros((n, 3), p.dtype),
+        (start.T, end.T, dup.T))
     if not return_overflow:
         return deltas
     dropped = jnp.where(dup, 0, jnp.maximum(end - start - max_per_cell, 0))
