@@ -153,6 +153,8 @@ class SolverParams:
     # only brute-force primitive colliders, SoftBodySolver.cs:554-561)
     self_collision: bool = False
     self_collision_cell: float = 0.1
+    # hash-bucket candidate capacity; 0 = autosize at solver build time
+    # (2x the rest-position bucket occupancy, floor 8 -- spatial.py)
     self_collision_max_per_cell: int = 8
 
     # triangle-level vertex-triangle surface collision (exceed item; the

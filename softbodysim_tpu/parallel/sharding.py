@@ -54,6 +54,17 @@ def shard_batch(state: SimState, mesh: Mesh, axis: str = "data") -> SimState:
         lambda a: jax.device_put(a, sharding), state)
 
 
+def _reject_global_stages(params: SolverParams, name: str):
+    """Self/surface collision hash over ALL particles is a global stage --
+    the sharded steps run per-device stages only, so they reject the flags
+    explicitly instead of silently skipping the physics (same contract as
+    the sharded Pallas paths)."""
+    if params.self_collision or params.surface_collision:
+        raise ValueError(
+            f"{name} does not support self/surface collision (the spatial "
+            "hash is a global stage; use a single-device backend)")
+
+
 def _pad_to_multiple(arr: np.ndarray, m: int, fill=0):
     n = arr.shape[0]
     pad = (-n) % m
@@ -79,6 +90,7 @@ def make_mesh_sharded_step(topology: Topology, params: SolverParams,
     tet (0,0,0,0) fails wsum >= 1e-20), so pads are exact no-ops -- the same
     masking trick the colored sweeps use.
     """
+    _reject_global_stages(params, "make_mesh_sharded_step")
     nm = mesh.shape[model_axis]
     nv = topology.num_particles
 
@@ -198,6 +210,7 @@ def make_xpbd_sharded_step(topology: Topology, params: SolverParams,
     """
     import numpy as np_
 
+    _reject_global_stages(params, "make_xpbd_sharded_step")
     nm = mesh.shape[model_axis]
     nv = topology.num_particles
     gravity = jnp.asarray(params.gravity, jnp.float32)
@@ -507,6 +520,7 @@ def make_vertex_sharded_step(topology: Topology, params: SolverParams,
     from ..solver.jacobi import (apply_delta as _apply,
                                  edge_gather_deltas as _edge)
 
+    _reject_global_stages(params, "make_vertex_sharded_step")
     npd = mesh.shape[axis]
     nv = topology.num_particles
     vb = -(-nv // npd)
@@ -732,6 +746,7 @@ def make_xpbd_vertex_sharded_step(topology: Topology, params: SolverParams,
     Returns ``step(state, dt) -> state`` over the public (unsharded-shape)
     SimState; ``step.build_state(...)`` mirrors init_state.
     """
+    _reject_global_stages(params, "make_xpbd_vertex_sharded_step")
     npd = mesh.shape[axis]
     nv = topology.num_particles
     vb = -(-nv // npd)

@@ -297,8 +297,8 @@ def make_jacobi_step(topology, params: SolverParams,
     radius = max(1e-6, params.particle_radius)
     k_colliders = 0 if colliders is None else colliders.count
     do_collide = params.ground_enabled or k_colliders > 0
-    self_collide = (make_self_collision_fn(params) if params.self_collision
-                    else None)
+    self_collide = (make_self_collision_fn(params, topology.vertices)
+                    if params.self_collision else None)
     surf_collide = None
     if params.surface_collision and len(topology.surface_tris):
         from .surface_collide import (make_surface_collision_fn,

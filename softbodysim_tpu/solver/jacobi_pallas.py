@@ -108,17 +108,24 @@ def make_jacobi_pallas_step(topology, params: SolverParams,
     # in its own far-away hash cell (> one cell AND > 2*radius apart).
     # Results match the XLA backends' hit set exactly when max_per_cell
     # does not truncate; summation order differs at the fp32 ULP level.
-    self_collide = (make_self_collision_fn(params) if params.self_collision
-                    else None)
+    self_collide = None
     iso = jnp.zeros((3, 0), jnp.float32)
-    if self_collide is not None:
+    if params.self_collision:
         cell = float(params.self_collision_cell)
         spacing = 2.0 * max(cell, 2.0 * radius)
-        dead = np.asarray(perm) == V
+        perm_np = np.asarray(perm)
+        dead = perm_np == V
         iso_np = np.zeros((3, vpad), np.float32)
         iso_np[0] = np.where(
             dead, np.float32(1e6) * cell + np.arange(vpad) * spacing, 0.0)
         iso = jnp.asarray(iso_np)
+        # cap autosize (cap == 0) sizes off the rest positions in THIS
+        # layout -- live rows at their rest coordinates, dead lanes parked
+        rest_rows = iso_np.T.copy()
+        rest_rows[~dead] = np.asarray(
+            topology.vertices, np.float32)[perm_np[~dead]]
+        self_collide = make_self_collision_fn(
+            params, rest_rows, num_particles=vpad)
     tables = base_tables + (iso,)
 
     # ---- public <-> internal layout --------------------------------------

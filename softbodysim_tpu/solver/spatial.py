@@ -145,13 +145,26 @@ def required_max_per_cell(p, cell_size, num_particles: int = None) -> int:
     return int(np.bincount(h).max())
 
 
-def make_self_collision_fn(params):
+def make_self_collision_fn(params, rest=None, num_particles=None):
     """Bind static parameters; returns fn(p_world, inv_mass, radius).
-    A cap of 0 (``self_collision_max_per_cell=0``) means autosize per
-    topology at Engine build time (the Engine resolves it via
-    ``required_max_per_cell`` on the rest positions)."""
+
+    A cap of 0 (``self_collision_max_per_cell=0``) autosizes at build
+    time: 2x the largest hash-bucket occupancy of ``rest`` (the margin
+    covers motion; ``return_overflow`` exists for workloads that compact
+    harder than that), floor 8.  Solver builders pass the rest positions
+    in the LAYOUT the stage will run on -- the Pallas fast paths pass the
+    padded row layout including parked dead lanes, with ``num_particles``
+    set to the row count so the hash table size matches runtime.
+    """
     cell = float(params.self_collision_cell)
     cap = int(params.self_collision_max_per_cell)
+    if cap <= 0:
+        if rest is None:
+            raise ValueError(
+                "self_collision_max_per_cell=0 (autosize) needs rest "
+                "positions at build time; this path does not provide them "
+                "-- set an explicit capacity")
+        cap = max(8, 2 * required_max_per_cell(rest, cell, num_particles))
 
     def fn(pw, inv_mass, radius):
         delta = self_collision_deltas(pw, inv_mass, radius, cell, cap)

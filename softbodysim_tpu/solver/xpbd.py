@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from ..core.state import SimState, SolverParams, tet_signed_volume
 from ..collide.primitives import Colliders, collide_particles
+from .spatial import make_self_collision_fn
 
 
 def _f32(x):
@@ -232,7 +233,13 @@ def make_xpbd_step(topology, params: SolverParams,
 
         big = (topology.num_edges + topology.num_tets) >= 100_000
         on_tpu = _jax.default_backend() == "tpu"
-        backend = "pallas" if (big and on_tpu) else "gather"
+        # surface collision needs the original vertex order (triangle ids);
+        # it is not implemented on the permuted Pallas row layout, so auto
+        # falls back to the colored XLA path (same contract as jacobi's
+        # use_pallas routing, solver/jacobi.py)
+        backend = ("pallas" if (big and on_tpu
+                                and not params.surface_collision)
+                   else "gather")
     if backend == "pallas":
         # VMEM-resident Pallas sweep kernels (kernels/sweep.py); its own
         # module owns layout conversion and the block-synchronous ordering
@@ -275,6 +282,31 @@ def make_xpbd_step(topology, params: SolverParams,
             ]
             t_perm = jnp.asarray(t_order.astype(np.int64))
             t_inv = jnp.asarray(np.argsort(t_order))
+
+    # Spatial-hash self/inter-body collision (solver/spatial.py), same
+    # per-iteration slot as the jacobi dialect: edge -> tet -> ground /
+    # colliders -> self.  A new capability over the reference server
+    # (which only has the ground clamp); min separation = 2 *
+    # params.particle_radius, matching the jacobi stage.
+    self_collide = (make_self_collision_fn(params, topology.vertices)
+                    if params.self_collision else None)
+    sc_radius = max(1e-6, params.particle_radius)
+
+    # Vertex-triangle surface collision (solver/surface_collide.py), same
+    # integration as the jacobi dialect: skipped when the topology carries
+    # no surface triangles, cell size autosized off the rest mesh.
+    surf_collide = None
+    if params.surface_collision and len(topology.surface_tris):
+        from .surface_collide import (make_surface_collision_fn,
+                                      suggested_cell_size)
+
+        sparams = params
+        if params.surface_collision_cell <= 0.0:
+            sparams = params.replace(surface_collision_cell=(
+                suggested_cell_size(topology.vertices, topology.surface_tris,
+                                    params.surface_thickness)))
+        surf_collide = make_surface_collision_fn(
+            sparams, topology.surface_tris)
 
     # Note: a hybrid "scatter-add for small tail colors" variant was
     # measured SLOWER on v5e (13.7 vs 11.5 ms/step at V=4096) -- XLA's
@@ -393,6 +425,11 @@ def make_xpbd_step(topology, params: SolverParams,
             pushed = collide_particles(
                 x_star, 0.0, cols_rt if cols_rt is not None else colliders)
             x_star = jnp.where(free[:, None], pushed, x_star)
+
+        if self_collide is not None:
+            x_star = self_collide(x_star, inv_mass, sc_radius)
+        if surf_collide is not None:
+            x_star = surf_collide(x_star, inv_mass)
 
         return (x_star, e_lam, t_lam, edge_alpha, tet_alpha), None
 

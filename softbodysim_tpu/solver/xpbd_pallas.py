@@ -30,6 +30,7 @@ import numpy as np
 from ..core.state import SimState, SolverParams
 from ..collide.primitives import Colliders, collide_particles
 from ..kernels import sweep as sw
+from .spatial import make_self_collision_fn
 
 LANES = 128
 
@@ -386,6 +387,12 @@ def make_xpbd_pallas_step(topology, params: SolverParams,
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if params.surface_collision:
+        raise ValueError(
+            "xpbd pallas backend does not implement surface_collision "
+            "(triangle ids need the original vertex order, not the "
+            "permuted row layout); use xpbd_backend='gather' -- the auto "
+            "routing in make_xpbd_step already does")
     if interpret and jax.config.jax_compilation_cache_dir:
         # jax 0.9's persistent cache segfaults DESERIALIZING executables that
         # contain interpret-mode pallas_calls (compilation_cache.py:238);
@@ -428,12 +435,39 @@ def make_xpbd_pallas_step(topology, params: SolverParams,
         else:
             tet_sweep = sw.make_sweep(t_plan, nwin, interpret=interpret,
                                       per_constraint_alpha=tet_c)
-    tables = (edge_sweep.tables if has_edges else (),
-              tet_sweep.tables if has_tets else (),
-              jnp.asarray(perm), jnp.asarray(old2new))
-
     gravity = jnp.asarray(params.gravity, jnp.float32)
     fr = min(1.0, max(0.0, params.friction))
+
+    # Spatial-hash self/inter-body collision (solver/spatial.py) on the
+    # permuted row layout, same design as the jacobi Pallas path: hashing
+    # only reads positions so vertex order is irrelevant, but dead layout
+    # lanes (perm == V: tail pad + component-alignment gaps) sit at the
+    # sentinel origin and would shove nearby live particles -- a static
+    # offset table parks each dead lane in its own far-away hash cell.
+    # iso rides the tables tuple so it enters the jit as an argument.
+    self_collide = None
+    sc_radius = max(1e-6, params.particle_radius)
+    iso = jnp.zeros((3, 0), jnp.float32)
+    if params.self_collision:
+        cell = float(params.self_collision_cell)
+        spacing = 2.0 * max(cell, 2.0 * sc_radius)
+        perm_np = np.asarray(perm)
+        dead = perm_np == V
+        iso_np = np.zeros((3, vpad), np.float32)
+        iso_np[0] = np.where(
+            dead, np.float32(1e6) * cell + np.arange(vpad) * spacing, 0.0)
+        iso = jnp.asarray(iso_np)
+        # cap autosize (cap == 0) sizes off the rest positions in THIS
+        # layout -- live rows at their rest coordinates, dead lanes parked
+        rest_rows = iso_np.T.copy()
+        rest_rows[~dead] = np.asarray(
+            topology.vertices, np.float32)[perm_np[~dead]]
+        self_collide = make_self_collision_fn(
+            params, rest_rows, num_particles=vpad)
+
+    tables = (edge_sweep.tables if has_edges else (),
+              tet_sweep.tables if has_tets else (),
+              jnp.asarray(perm), jnp.asarray(old2new), iso)
 
     # ---- public <-> internal layout --------------------------------------
     # perm entries == V are dead slots (tail pad + component-alignment
@@ -525,7 +559,8 @@ def make_xpbd_pallas_step(topology, params: SolverParams,
         xp = jnp.where(free, xs, xp)
         return x8.at[0:3].set(xp), xp, vv
 
-    def substep(carry, sdt, e_alpha, t_alpha, cols_rt, e_tabs, t_tabs):
+    def substep(carry, sdt, e_alpha, t_alpha, cols_rt, e_tabs, t_tabs,
+                iso_t):
         x8, xp, vv, lam_e, lam_t = carry
         x8, vv = predict(x8, xp, vv, sdt)
 
@@ -539,6 +574,12 @@ def make_xpbd_pallas_step(topology, params: SolverParams,
                 x8 = ground(x8)
             if colliders is not None:
                 x8 = collide(x8, cols_rt)
+            if self_collide is not None:
+                # live lanes have iso == 0; dead/pinned lanes (w == 0) are
+                # never written back
+                p = self_collide((x8[0:3] + iso_t).T, x8[3], sc_radius)
+                x8 = x8.at[0:3].set(
+                    jnp.where(x8[3] != 0.0, p.T, x8[0:3]))
             return (x8, lam_e, lam_t), None
 
         (x8, lam_e, lam_t), _ = jax.lax.scan(
@@ -546,7 +587,7 @@ def make_xpbd_pallas_step(topology, params: SolverParams,
         x8, xp, vv = commit(x8, xp, vv, sdt)
         return (x8, xp, vv, lam_e, lam_t)
 
-    def _run_rows(carry, dt, n, ec, vc, cols_rt, e_tabs, t_tabs):
+    def _run_rows(carry, dt, n, ec, vc, cols_rt, e_tabs, t_tabs, iso_t):
         ss = max(1, params.substeps)
         sdt = _f32(dt) / ss
         inv_dt2 = jnp.where(sdt > 1e-12, 1.0 / (sdt * sdt), 0.0)
@@ -564,7 +605,7 @@ def make_xpbd_pallas_step(topology, params: SolverParams,
         def one_step(c, _):
             def one_sub(c2, _):
                 return substep(c2, sdt, e_alpha, t_alpha, cols_rt,
-                               e_tabs, t_tabs), None
+                               e_tabs, t_tabs, iso_t), None
             c, _ = jax.lax.scan(one_sub, c, None, length=ss)
             return c, None
 
@@ -572,9 +613,10 @@ def make_xpbd_pallas_step(topology, params: SolverParams,
         return carry
 
     def _run(tables, state, dt, n, ec, vc, cols_rt):
-        e_tabs, t_tabs, perm_j, old2new_j = tables
+        e_tabs, t_tabs, perm_j, old2new_j, iso_t = tables
         carry = to_rows(state, perm_j)
-        carry = _run_rows(carry, dt, n, ec, vc, cols_rt, e_tabs, t_tabs)
+        carry = _run_rows(carry, dt, n, ec, vc, cols_rt, e_tabs, t_tabs,
+                          iso_t)
         return to_public(carry, state, old2new_j)
 
     _jit_run = jax.jit(_run, static_argnums=3, donate_argnums=1)
@@ -592,7 +634,7 @@ def make_xpbd_pallas_step(topology, params: SolverParams,
 
     def _run_c(tables, carry, dt, n, ec, vc, cols_rt):
         return _run_rows(carry, dt, n, ec, vc, cols_rt,
-                         tables[0], tables[1])
+                         tables[0], tables[1], tables[4])
 
     def _unpack(tables, carry, state):
         return to_public(carry, state, tables[3])

@@ -290,6 +290,11 @@ def make_xpbd_pallas_sharded_step(topology, params: SolverParams,
         interpret = jax.default_backend() != "tpu"
     if params.dialect != "xpbd":
         raise ValueError("sharded pallas path implements the xpbd dialect")
+    if params.self_collision or params.surface_collision:
+        raise ValueError(
+            "sharded xpbd pallas path does not support self/surface "
+            "collision (the spatial hash is a global stage; use the "
+            "single-device pallas backend)")
 
     D = mesh.shape[axis]
     V = topology.num_particles

@@ -111,3 +111,39 @@ def test_overflow_counter_and_autosize():
         jnp.asarray(p), jnp.asarray(w), 0.01, 0.2, cap, return_overflow=True)
     assert int(dropped_fit) == 0
     assert np.isfinite(np.asarray(deltas)).all()
+
+
+def test_cap_autosize_from_rest_positions():
+    """self_collision_max_per_cell=0 autosizes at solver build time (2x
+    the rest-position bucket occupancy, floor 8) on every backend that
+    runs the stage, including the Pallas row layouts (which size off the
+    parked-lane layout with the row-count table size)."""
+    topo = meshes.tet_cube(3, 3, 3, size=0.5, center=(0.0, 0.3, 0.0))
+    kw = dict(gravity=(0.0, -10.0, 0.0), particle_radius=0.15,
+              self_collision=True, self_collision_cell=0.3,
+              self_collision_max_per_cell=0, substeps=1, iterations=2)
+    dt = 1.0 / 60.0
+
+    engines = [
+        Engine(topo, SolverParams(dialect="jacobi", jacobi_backend="pallas",
+                                  use_pallas="off", **kw)),
+        Engine(topo, SolverParams(dialect="jacobi",
+                                  jacobi_backend="gather", **kw)),
+        Engine(topo, SolverParams(dialect="xpbd",
+                                  xpbd_backend="gather", **kw)),
+        Engine(topo, SolverParams(dialect="xpbd",
+                                  xpbd_backend="pallas", **kw)),
+    ]
+    off = Engine(topo, SolverParams(dialect="xpbd", xpbd_backend="gather",
+                                    gravity=(0.0, -10.0, 0.0),
+                                    particle_radius=0.15,
+                                    substeps=1, iterations=2))
+    for _ in range(4):
+        for e in engines:
+            e.step(dt)
+        off.step(dt)
+    # the stage fired on every backend (autosized cap did not truncate to
+    # nothing): the overlapping lattice expands vs the stage-off control
+    for e in engines:
+        assert np.abs(e.positions() - off.positions()).max() > 1e-3
+        assert np.isfinite(e.positions()).all()
