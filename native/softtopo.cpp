@@ -428,23 +428,28 @@ void* st_pack_super(const int64_t* cons, int64_t n, int32_t arity,
     }
     return std::make_pair(lo, hi);
   };
+  // Sort keys are precomputed: the comparators otherwise recompute the
+  // window tuples O(n log n) times, which is measurable at 10M+ scale.
   std::vector<int64_t> order(n);
   for (int64_t i = 0; i < n; i++) order[i] = i;
   if (order_mode == 1) {
+    std::vector<uint64_t> key(n);
+    for (int64_t i = 0; i < n; i++) {
+      auto mm = wminmax(i);
+      key[i] = ((uint64_t)mm.first << 32) | (uint64_t)(uint32_t)mm.second;
+    }
     std::stable_sort(order.begin(), order.end(),
-                     [&](int64_t a, int64_t b) {
-                       return wminmax(a) < wminmax(b);
-                     });
+                     [&](int64_t a, int64_t b) { return key[a] < key[b]; });
   } else {
+    std::vector<std::array<int32_t, 4>> key(n);
+    for (int64_t i = 0; i < n; i++) {
+      std::array<int32_t, 4> k{0, 0, 0, 0};
+      for (int r = 0; r < arity; r++)
+        k[r] = (int32_t)(cons[i * arity + r] / LANES);
+      key[i] = k;
+    }
     std::stable_sort(order.begin(), order.end(),
-                     [&](int64_t a, int64_t b) {
-                       for (int r = 0; r < arity; r++) {
-                         int64_t wa = cons[a * arity + r] / LANES;
-                         int64_t wb = cons[b * arity + r] / LANES;
-                         if (wa != wb) return wa < wb;
-                       }
-                       return false;
-                     });
+                     [&](int64_t a, int64_t b) { return key[a] < key[b]; });
   }
 
   std::vector<int64_t> remaining = order;

@@ -9,13 +9,15 @@ Jacobi reads one snapshot per pass, so this matches the segment/gather
 backends (and tests/oracle.py::JacobiOracle) up to fp32 summation order.
 
 Supported feature set (the scene hot path): ground plane, primitive
-colliders (static or per-step poses), stiffness/omega overrides, and
-spatial-hash self/inter-body collision (the XLA hash stage from
-solver/spatial.py runs between the Pallas passes on the permuted row
-layout -- hashing is vertex-order agnostic, dead layout lanes are
-statically isolated far from the scene).  Bodies with local-space
-transforms, Chebyshev acceleration, or surface collision fall back to
-the XLA backends (solver/jacobi.py routes them).
+colliders (static or per-step poses), stiffness/omega overrides,
+spatial-hash self/inter-body collision, and vertex-triangle surface
+collision (the XLA hash stages from solver/spatial.py and
+solver/surface_collide.py run between the Pallas passes on the permuted
+row layout -- hashing is vertex-order agnostic, triangle corner ids are
+remapped to row space, dead layout lanes are statically isolated far
+from the scene).  Bodies with local-space transforms or Chebyshev
+acceleration fall back to the XLA backends (solver/jacobi.py routes
+them).
 """
 
 from __future__ import annotations
@@ -109,16 +111,21 @@ def make_jacobi_pallas_step(topology, params: SolverParams,
     # Results match the XLA backends' hit set exactly when max_per_cell
     # does not truncate; summation order differs at the fp32 ULP level.
     self_collide = None
+    surf_collide = None
     iso = jnp.zeros((3, 0), jnp.float32)
-    if params.self_collision:
-        cell = float(params.self_collision_cell)
-        spacing = 2.0 * max(cell, 2.0 * radius)
+    if params.self_collision or (params.surface_collision
+                                 and len(topology.surface_tris)):
+        cell = (float(params.self_collision_cell) if params.self_collision
+                else max(float(params.surface_thickness), 2.0 * radius))
+        spacing = 2.0 * max(cell, 2.0 * radius,
+                            float(params.surface_thickness))
         perm_np = np.asarray(perm)
         dead = perm_np == V
         iso_np = np.zeros((3, vpad), np.float32)
         iso_np[0] = np.where(
             dead, np.float32(1e6) * cell + np.arange(vpad) * spacing, 0.0)
         iso = jnp.asarray(iso_np)
+    if params.self_collision:
         # cap autosize (cap == 0) sizes off the rest positions in THIS
         # layout -- live rows at their rest coordinates, dead lanes parked
         rest_rows = iso_np.T.copy()
@@ -126,6 +133,25 @@ def make_jacobi_pallas_step(topology, params: SolverParams,
             topology.vertices, np.float32)[perm_np[~dead]]
         self_collide = make_self_collision_fn(
             params, rest_rows, num_particles=vpad)
+    if params.surface_collision and len(topology.surface_tris):
+        # Vertex-triangle surface contact on the SAME permuted row layout:
+        # hashing/geometry only read positions, and triangle corner ids are
+        # remapped old->row (old2new) so the gathers stay in row space.
+        # Dead-lane query points sit in their far-away iso cells (any
+        # hash-bucket collision with a real triangle fails dist<thickness),
+        # and w==0 rows are never written back.  Cell autosize uses the
+        # original-order rest mesh (layout-independent scalar).
+        from .surface_collide import (make_surface_collision_fn,
+                                      suggested_cell_size)
+
+        sparams = params
+        if params.surface_collision_cell <= 0.0:
+            sparams = params.replace(surface_collision_cell=(
+                suggested_cell_size(topology.vertices, topology.surface_tris,
+                                    params.surface_thickness)))
+        row_tris = np.asarray(old2new)[
+            np.asarray(topology.surface_tris, np.int64).reshape(-1, 3)]
+        surf_collide = make_surface_collision_fn(sparams, row_tris)
     tables = base_tables + (iso,)
 
     # ---- public <-> internal layout --------------------------------------
@@ -197,6 +223,10 @@ def make_jacobi_pallas_step(topology, params: SolverParams,
                 # (edge -> tet -> ground/colliders -> self); live lanes have
                 # iso == 0, dead/pinned lanes (w == 0) are never written
                 p = self_collide((x8[0:3] + iso_t).T, x8[3], radius)
+                x8 = x8.at[0:3].set(
+                    jnp.where(x8[3] != 0.0, p.T, x8[0:3]))
+            if surf_collide is not None:
+                p = surf_collide((x8[0:3] + iso_t).T, x8[3])
                 x8 = x8.at[0:3].set(
                     jnp.where(x8[3] != 0.0, p.T, x8[0:3]))
             return x8, None

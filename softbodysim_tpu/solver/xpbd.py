@@ -233,13 +233,7 @@ def make_xpbd_step(topology, params: SolverParams,
 
         big = (topology.num_edges + topology.num_tets) >= 100_000
         on_tpu = _jax.default_backend() == "tpu"
-        # surface collision needs the original vertex order (triangle ids);
-        # it is not implemented on the permuted Pallas row layout, so auto
-        # falls back to the colored XLA path (same contract as jacobi's
-        # use_pallas routing, solver/jacobi.py)
-        backend = ("pallas" if (big and on_tpu
-                                and not params.surface_collision)
-                   else "gather")
+        backend = "pallas" if (big and on_tpu) else "gather"
     if backend == "pallas":
         # VMEM-resident Pallas sweep kernels (kernels/sweep.py); its own
         # module owns layout conversion and the block-synchronous ordering

@@ -387,12 +387,6 @@ def make_xpbd_pallas_step(topology, params: SolverParams,
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if params.surface_collision:
-        raise ValueError(
-            "xpbd pallas backend does not implement surface_collision "
-            "(triangle ids need the original vertex order, not the "
-            "permuted row layout); use xpbd_backend='gather' -- the auto "
-            "routing in make_xpbd_step already does")
     if interpret and jax.config.jax_compilation_cache_dir:
         # jax 0.9's persistent cache segfaults DESERIALIZING executables that
         # contain interpret-mode pallas_calls (compilation_cache.py:238);
@@ -446,17 +440,22 @@ def make_xpbd_pallas_step(topology, params: SolverParams,
     # offset table parks each dead lane in its own far-away hash cell.
     # iso rides the tables tuple so it enters the jit as an argument.
     self_collide = None
+    surf_collide = None
     sc_radius = max(1e-6, params.particle_radius)
     iso = jnp.zeros((3, 0), jnp.float32)
-    if params.self_collision:
-        cell = float(params.self_collision_cell)
-        spacing = 2.0 * max(cell, 2.0 * sc_radius)
+    if params.self_collision or (params.surface_collision
+                                 and len(topology.surface_tris)):
+        cell = (float(params.self_collision_cell) if params.self_collision
+                else max(float(params.surface_thickness), 2.0 * sc_radius))
+        spacing = 2.0 * max(cell, 2.0 * sc_radius,
+                            float(params.surface_thickness))
         perm_np = np.asarray(perm)
         dead = perm_np == V
         iso_np = np.zeros((3, vpad), np.float32)
         iso_np[0] = np.where(
             dead, np.float32(1e6) * cell + np.arange(vpad) * spacing, 0.0)
         iso = jnp.asarray(iso_np)
+    if params.self_collision:
         # cap autosize (cap == 0) sizes off the rest positions in THIS
         # layout -- live rows at their rest coordinates, dead lanes parked
         rest_rows = iso_np.T.copy()
@@ -464,6 +463,22 @@ def make_xpbd_pallas_step(topology, params: SolverParams,
             topology.vertices, np.float32)[perm_np[~dead]]
         self_collide = make_self_collision_fn(
             params, rest_rows, num_particles=vpad)
+    if params.surface_collision and len(topology.surface_tris):
+        # Vertex-triangle surface contact on the permuted row layout, same
+        # design as the jacobi Pallas path (solver/jacobi_pallas.py):
+        # triangle corner ids remapped old->row, dead-lane query points
+        # parked in far-away iso cells, w==0 rows never written back.
+        from .surface_collide import (make_surface_collision_fn,
+                                      suggested_cell_size)
+
+        sparams = params
+        if params.surface_collision_cell <= 0.0:
+            sparams = params.replace(surface_collision_cell=(
+                suggested_cell_size(topology.vertices, topology.surface_tris,
+                                    params.surface_thickness)))
+        row_tris = np.asarray(old2new)[
+            np.asarray(topology.surface_tris, np.int64).reshape(-1, 3)]
+        surf_collide = make_surface_collision_fn(sparams, row_tris)
 
     tables = (edge_sweep.tables if has_edges else (),
               tet_sweep.tables if has_tets else (),
@@ -578,6 +593,10 @@ def make_xpbd_pallas_step(topology, params: SolverParams,
                 # live lanes have iso == 0; dead/pinned lanes (w == 0) are
                 # never written back
                 p = self_collide((x8[0:3] + iso_t).T, x8[3], sc_radius)
+                x8 = x8.at[0:3].set(
+                    jnp.where(x8[3] != 0.0, p.T, x8[0:3]))
+            if surf_collide is not None:
+                p = surf_collide((x8[0:3] + iso_t).T, x8[3])
                 x8 = x8.at[0:3].set(
                     jnp.where(x8[3] != 0.0, p.T, x8[0:3]))
             return (x8, lam_e, lam_t), None

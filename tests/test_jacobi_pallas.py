@@ -121,7 +121,7 @@ def test_pallas_rejects_unsupported_features():
     from softbodysim_tpu.solver import make_step
 
     with pytest.raises(ValueError):
-        make_step(topo, _params(surface_collision=True))
+        make_step(topo, _params(chebyshev=True))
 
 
 def test_merged_scene_matches_separate_bodies():
@@ -218,5 +218,42 @@ def test_self_collision_matches_gather_backend():
     # the stage did something (min_dist 2*0.15 > lattice spacing 0.167 =>
     # immediate neighbor push-out), and both backends agree on what
     assert np.abs(b.positions() - c.positions()).max() > 1e-3
+    np.testing.assert_allclose(a.positions(), b.positions(), atol=2e-5)
+    np.testing.assert_allclose(a.velocities(), b.velocities(), atol=2e-3)
+
+
+def test_surface_collision_matches_gather_backend():
+    """Vertex-triangle surface collision runs between the Pallas passes on
+    the permuted row layout (triangle corner ids remapped old->row, dead
+    lanes parked far away) and matches the XLA gather backend.  Stiffness
+    is zeroed so the constraint passes are exact no-ops: overlapping-ball
+    contact is CHAOTIC (measured: the gather and segment XLA backends
+    drift apart to 2e-2 in 6 steps from fp32 summation order alone), so
+    the pin isolates predict -> surface -> commit, where only the surface
+    stage's own summation order differs between layouts (~1e-7/call).
+    The balls overlap within surface_thickness at t=0 so the stage fires
+    immediately; max_per_cell covers every hash bucket on both layouts so
+    the hit sets are identical."""
+    from softbodysim_tpu.core.adjacency import combine_topologies
+
+    b1 = meshes.tet_ball(1, 0.25, (0.0, 0.5, 0.0))
+    b2 = meshes.tet_ball(1, 0.25, (0.42, 0.5, 0.0))
+    merged, _ = combine_topologies([b1, b2])
+    kw = dict(surface_collision=True, surface_thickness=0.06,
+              surface_collision_max_per_cell=256,
+              edge_stiffness=0.0, volume_stiffness=0.0,
+              substeps=1, iterations=2,
+              gravity=(0.0, 0.0, 0.0), ground_enabled=False)
+    a = Engine(merged, _params(**kw))
+    b = Engine(merged, _params(jacobi_backend="gather", **kw))
+    c = Engine(merged, _params(
+        jacobi_backend="gather", edge_stiffness=0.0, volume_stiffness=0.0,
+        substeps=1, iterations=2, gravity=(0.0, 0.0, 0.0),
+        ground_enabled=False))                        # stage-off control
+    for _ in range(2):
+        a.step(DT)
+        b.step(DT)
+        c.step(DT)
+    assert np.abs(b.positions() - c.positions()).max() > 1e-4  # stage fired
     np.testing.assert_allclose(a.positions(), b.positions(), atol=2e-5)
     np.testing.assert_allclose(a.velocities(), b.velocities(), atol=2e-3)

@@ -188,6 +188,60 @@ def test_xpbd_surface_collision_behavioral():
     assert sep(e_on) > sep(e_off) + 0.01
 
 
+def test_xpbd_pallas_surface_collision_one_step_matches_gather():
+    """E2e wiring pin for the sweep path's surface-collision slot (triangle
+    corner ids remapped old->row, dead lanes parked far away): one step
+    with compliance huge (constraint projections <1e-10, removing the
+    block-synchronous vs colored-GS ordering difference) must match the
+    XLA gather backend -- predict -> surface -> commit is all that
+    remains.  The balls overlap within surface_thickness at t=0 so the
+    stage fires immediately; max_per_cell covers every hash bucket on
+    both layouts so the hit sets are identical."""
+    b1 = meshes.tet_ball(1, 0.25, (0.0, 0.5, 0.0))
+    b2 = meshes.tet_ball(1, 0.25, (0.42, 0.5, 0.0))
+    merged, _ = combine_topologies([b1, b2])
+    kw = dict(gravity=(0.0, 0.0, 0.0), ground_enabled=False,
+              surface_collision=True, surface_thickness=0.06,
+              surface_collision_max_per_cell=256,
+              edge_compliance=1e6, volume_compliance=1e6,
+              substeps=1, iterations=1)
+    a = Engine(merged, _params(xpbd_backend="pallas", **kw))
+    b = Engine(merged, _params(xpbd_backend="gather", **kw))
+    c = Engine(merged, _params(
+        xpbd_backend="gather", gravity=(0.0, 0.0, 0.0), ground_enabled=False,
+        edge_compliance=1e6, volume_compliance=1e6,
+        substeps=1, iterations=1))                    # stage-off control
+    a.step(DT)
+    b.step(DT)
+    c.step(DT)
+    assert np.abs(b.positions() - c.positions()).max() > 1e-4  # stage fired
+    np.testing.assert_allclose(a.positions(), b.positions(), atol=1e-5)
+    np.testing.assert_allclose(a.velocities(), b.velocities(), atol=1e-3)
+
+
+def test_xpbd_pallas_surface_collision_behavioral():
+    """End-to-end on the sweep path with real constraints: overlapping
+    balls separate vs the stage-off control."""
+    b1 = meshes.tet_ball(1, 0.25, (0.0, 0.5, 0.0))
+    b2 = meshes.tet_ball(1, 0.25, (0.42, 0.5, 0.0))
+    merged, slices = combine_topologies([b1, b2])
+    kw = dict(gravity=(0.0, 0.0, 0.0), ground_enabled=False,
+              substeps=1, iterations=2)
+    on = Engine(merged, _params(
+        xpbd_backend="pallas", surface_collision=True,
+        surface_thickness=0.06, surface_collision_max_per_cell=64, **kw))
+    off = Engine(merged, _params(xpbd_backend="pallas", **kw))
+
+    def sep(eng):
+        p = eng.positions()
+        return np.linalg.norm(p[slices[1]].mean(0) - p[slices[0]].mean(0))
+
+    for _ in range(6):
+        on.step(DT)
+        off.step(DT)
+    assert sep(on) > sep(off) + 0.005
+
+
 def test_sharded_steps_reject_global_collision_stages():
     """The sharded steps run per-device stages only; the spatial hash is a
     global stage, so the flags must raise loudly instead of silently
