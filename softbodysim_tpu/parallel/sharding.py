@@ -54,15 +54,28 @@ def shard_batch(state: SimState, mesh: Mesh, axis: str = "data") -> SimState:
         lambda a: jax.device_put(a, sharding), state)
 
 
-def _reject_global_stages(params: SolverParams, name: str):
-    """Self/surface collision hash over ALL particles is a global stage --
-    the sharded steps run per-device stages only, so they reject the flags
-    explicitly instead of silently skipping the physics (same contract as
-    the sharded Pallas paths)."""
-    if params.self_collision or params.surface_collision:
-        raise ValueError(
-            f"{name} does not support self/surface collision (the spatial "
-            "hash is a global stage; use a single-device backend)")
+def _build_global_stages(topology: Topology, params: SolverParams):
+    """Self/surface collision stage closures, same build rules as the
+    single-device backends (solver/jacobi.py): cap autosize off the rest
+    positions, cell autosize off the rest surface.  Returns
+    ``(self_collide, surf_collide)`` (either may be None)."""
+    from ..solver.spatial import make_self_collision_fn
+
+    self_collide = (make_self_collision_fn(params, topology.vertices)
+                    if params.self_collision else None)
+    surf_collide = None
+    if params.surface_collision and len(topology.surface_tris):
+        from ..solver.surface_collide import (make_surface_collision_fn,
+                                              suggested_cell_size)
+
+        sparams = params
+        if params.surface_collision_cell <= 0.0:
+            sparams = params.replace(surface_collision_cell=(
+                suggested_cell_size(topology.vertices, topology.surface_tris,
+                                    params.surface_thickness)))
+        surf_collide = make_surface_collision_fn(
+            sparams, topology.surface_tris)
+    return self_collide, surf_collide
 
 
 def _pad_to_multiple(arr: np.ndarray, m: int, fill=0):
@@ -89,8 +102,12 @@ def make_mesh_sharded_step(topology: Topology, params: SolverParams,
     size with degenerate entries (edge (0,0) fails the len^2 >= 1e-18 guard;
     tet (0,0,0,0) fails wsum >= 1e-20), so pads are exact no-ops -- the same
     masking trick the colored sweeps use.
+
+    Self/surface collision: positions are REPLICATED along the model axis
+    in this mode, so the spatial-hash stages run replicated (every model
+    device computes the identical full-scene stage; zero extra collectives).
+    The vertex-sharded modes use the own-slice form instead.
     """
-    _reject_global_stages(params, "make_mesh_sharded_step")
     nm = mesh.shape[model_axis]
     nv = topology.num_particles
 
@@ -108,6 +125,7 @@ def make_mesh_sharded_step(topology: Topology, params: SolverParams,
     ground_normal = jnp.asarray(gn, jnp.float32)
     radius = max(1e-6, params.particle_radius)
     k_cols = 0 if colliders is None else colliders.count
+    self_collide, surf_collide = _build_global_stages(topology, params)
 
     k_edge = jnp.float32(params.edge_stiffness)
     k_vol = jnp.float32(params.volume_stiffness)
@@ -130,13 +148,20 @@ def make_mesh_sharded_step(topology: Topology, params: SolverParams,
                 delta = jax.lax.psum(delta, model_axis)
                 cnt = jax.lax.psum(cnt, model_axis)
                 x_pred = apply_delta(x_pred, inv_mass, delta, cnt, omega)
-            if params.ground_enabled or k_cols > 0:
+            if (params.ground_enabled or k_cols > 0
+                    or self_collide is not None or surf_collide is not None):
                 pw = x_pred
                 if params.ground_enabled:
                     pw = project_ground_plane(pw, radius, ground_point,
                                               ground_normal)
                 if k_cols > 0:
                     pw = collide_particles(pw, radius, colliders)
+                # replicated along the model axis (positions are full-scene
+                # replicas here; deterministic => replicas stay identical)
+                if self_collide is not None:
+                    pw = self_collide(pw, inv_mass, radius)
+                if surf_collide is not None:
+                    pw = surf_collide(pw, inv_mass)
                 x_pred = jnp.where((inv_mass != 0.0)[:, None], pw, x_pred)
             return (x_pred, inv_mass), None
 
@@ -210,10 +235,13 @@ def make_xpbd_sharded_step(topology: Topology, params: SolverParams,
     """
     import numpy as np_
 
-    _reject_global_stages(params, "make_xpbd_sharded_step")
     nm = mesh.shape[model_axis]
     nv = topology.num_particles
     gravity = jnp.asarray(params.gravity, jnp.float32)
+    # positions are replicated along the model axis in this mode, so the
+    # global spatial-hash stages run replicated (see make_mesh_sharded_step)
+    self_collide, surf_collide = _build_global_stages(topology, params)
+    sc_radius = max(1e-6, params.particle_radius)
 
     from ..solver.xpbd import (_color_slices, _vertex_slot_map, commit,
                                predict, project_ground)
@@ -385,6 +413,10 @@ def make_xpbd_sharded_step(topology: Topology, params: SolverParams,
                     xs = jnp.where(free,
                                    collide_particles(xs, 0.0, colliders),
                                    xs)
+                if self_collide is not None:
+                    xs = self_collide(xs, st.inv_mass, sc_radius)
+                if surf_collide is not None:
+                    xs = surf_collide(xs, st.inv_mass)
                 return (xs, el, tl), None
 
             (x_star, e_lam, t_lam), _ = jax.lax.scan(
@@ -520,7 +552,6 @@ def make_vertex_sharded_step(topology: Topology, params: SolverParams,
     from ..solver.jacobi import (apply_delta as _apply,
                                  edge_gather_deltas as _edge)
 
-    _reject_global_stages(params, "make_vertex_sharded_step")
     npd = mesh.shape[axis]
     nv = topology.num_particles
     vb = -(-nv // npd)
@@ -530,6 +561,19 @@ def make_vertex_sharded_step(topology: Topology, params: SolverParams,
         out = np.full((vpad,) + a.shape[1:], fill, a.dtype)
         out[:nv] = a
         return out
+
+    # global collision stages in own-slice form (solver/global_stages.py):
+    # pad rows are parked in far-away hash cells via the iso table
+    from ..solver.global_stages import build_sliced_stages
+
+    _dead = np.zeros((vpad,), bool)
+    _dead[nv:] = True
+    self_fn, surf_fn, _iso = build_sliced_stages(
+        topology, params,
+        rest_rows=padv(np.asarray(topology.vertices, np.float32)),
+        dead=_dead)
+    iso_j = jnp.asarray(_iso)
+    sc_radius = max(1e-6, params.particle_radius)
 
     # padded adjacency over ALL vertices, then sharded along V
     e_other, e_eidx, e_mask = padded_edge_adjacency(nv, topology.edges)
@@ -661,6 +705,20 @@ def make_vertex_sharded_step(topology: Topology, params: SolverParams,
                     jnp.asarray(params.ground_normal, jnp.float32))
                 x_pred_loc = jnp.where((w_loc != 0)[:, None], pw,
                                        x_pred_loc)
+            if self_fn is not None or surf_fn is not None:
+                off = jax.lax.axis_index(axis) * vb
+            if self_fn is not None:
+                p = gather_full(x_pred_loc) + iso_j
+                d = self_fn(p, w_full, sc_radius, off, vb)
+                x_pred_loc = jnp.where((w_loc != 0)[:, None],
+                                       x_pred_loc + d, x_pred_loc)
+            if surf_fn is not None:
+                p = gather_full(x_pred_loc) + iso_j
+                vd, corners = surf_fn(p, w_full, off, vb)
+                corners = jax.lax.psum(corners, axis)
+                cd = jax.lax.dynamic_slice_in_dim(corners, off, vb, 0)
+                x_pred_loc = jnp.where((w_loc != 0)[:, None],
+                                       x_pred_loc + vd + cd, x_pred_loc)
             return x_pred_loc, None
 
         def substep(carry, _):
@@ -746,12 +804,25 @@ def make_xpbd_vertex_sharded_step(topology: Topology, params: SolverParams,
     Returns ``step(state, dt) -> state`` over the public (unsharded-shape)
     SimState; ``step.build_state(...)`` mirrors init_state.
     """
-    _reject_global_stages(params, "make_xpbd_vertex_sharded_step")
     npd = mesh.shape[axis]
     nv = topology.num_particles
     vb = -(-nv // npd)
     vpad = vb * npd
     gravity = jnp.asarray(params.gravity, jnp.float32)
+
+    # global collision stages in own-slice form (solver/global_stages.py);
+    # pad rows parked far away via the iso table.  Same per-iteration slot
+    # as the single-device xpbd step: colors -> ground -> self -> surface.
+    from ..solver.global_stages import build_sliced_stages
+
+    _rest_rows = np.zeros((vpad, 3), np.float32)
+    _rest_rows[:nv] = np.asarray(topology.vertices, np.float32)
+    _dead = np.zeros((vpad,), bool)
+    _dead[nv:] = True
+    self_fn, surf_fn, _iso = build_sliced_stages(
+        topology, params, rest_rows=_rest_rows, dead=_dead)
+    iso_j = jnp.asarray(_iso)
+    sc_radius = max(1e-6, params.particle_radius)
 
     from ..solver.xpbd import _color_slices
     from ..core.state import SimState as _SimState, tet_signed_volume
@@ -994,6 +1065,8 @@ def make_xpbd_vertex_sharded_step(topology: Topology, params: SolverParams,
         e_alpha = max(0.0, params.edge_compliance) * inv_dt2_of(sdt)
         t_alpha = max(0.0, params.volume_compliance) * inv_dt2_of(sdt)
         wloc = jnp.concatenate([w_own, w_ghost, jnp.zeros((1,))])
+        w_full = (jax.lax.all_gather(w_own, axis, tiled=True)
+                  if (self_fn is not None or surf_fn is not None) else None)
 
         def fetch_ghosts(x_own, me):
             """Phase 1: owners export boundary positions; ghosts refresh."""
@@ -1058,6 +1131,19 @@ def make_xpbd_vertex_sharded_step(topology: Topology, params: SolverParams,
                 x_own = x_own.at[:, 1].set(
                     jnp.where(w_own == 0.0, y,
                               jnp.maximum(y, params.ground_y)))
+            if self_fn is not None or surf_fn is not None:
+                off = jax.lax.axis_index(axis) * vb
+            if self_fn is not None:
+                p = jax.lax.all_gather(x_own, axis, tiled=True) + iso_j
+                d = self_fn(p, w_full, sc_radius, off, vb)
+                x_own = jnp.where((w_own > 0.0)[:, None], x_own + d, x_own)
+            if surf_fn is not None:
+                p = jax.lax.all_gather(x_own, axis, tiled=True) + iso_j
+                vd, corners = surf_fn(p, w_full, off, vb)
+                corners = jax.lax.psum(corners, axis)
+                cd = jax.lax.dynamic_slice_in_dim(corners, off, vb, 0)
+                x_own = jnp.where((w_own > 0.0)[:, None],
+                                  x_own + vd + cd, x_own)
             return (x_own, lam_e, lam_t), None
 
         def substep(carry, _):

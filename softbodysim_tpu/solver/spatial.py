@@ -51,7 +51,8 @@ def _cell_hash(cells, table_size):
 
 
 def self_collision_deltas(p, inv_mass, radius, cell_size, max_per_cell,
-                          return_overflow: bool = False):
+                          return_overflow: bool = False,
+                          own_offset=None, own_count: int = None):
     """Compute per-particle separation deltas from particle-particle overlap.
 
     Returns (N, 3) deltas; caller applies them (typically once per solver
@@ -61,6 +62,15 @@ def self_collision_deltas(p, inv_mass, radius, cell_size, max_per_cell,
     entries that did NOT fit the fixed ``max_per_cell`` window (an int32
     scalar, device-side).  Non-zero overflow means contacts were silently
     under-resolved this step -- resize with ``required_max_per_cell``.
+
+    Own-slice mode (``own_offset``/``own_count`` set): the hash table still
+    covers ALL of ``p`` (candidates come from anywhere), but only query
+    rows ``[own_offset, own_offset + own_count)`` are evaluated and a
+    ``(own_count, 3)`` delta block is returned.  This is the sharded-step
+    form: each device all-gathers positions, queries its own contiguous row
+    slice, and applies locally -- the union over devices is exactly the
+    unsliced hit set.  ``own_offset`` may be traced (``lax.axis_index``);
+    ``own_count`` must be static.
 
     Memory note: the candidate tensors are materialized per neighbor-cell
     OFFSET (a ``lax.scan`` over the 27 offsets), so the peak working set is
@@ -77,33 +87,44 @@ def self_collision_deltas(p, inv_mass, radius, cell_size, max_per_cell,
     order = jnp.argsort(hashes)
     sorted_hash = hashes[order]
 
-    # For each particle and each of its 27 neighbor cells: candidate window.
-    # Distinct neighbor cells may collide to the same hash slot -- their
-    # windows would then be identical and double-count candidates, so sort
-    # the 27 hashes per particle and invalidate duplicates (identical hash
+    if own_offset is None:
+        pq, wq, cq = p, inv_mass, cells
+        own = jnp.arange(n, dtype=order.dtype)
+        nq = n
+    else:
+        nq = int(own_count)
+        off = jnp.asarray(own_offset, jnp.int32)
+        pq = jax.lax.dynamic_slice_in_dim(p, off, nq, 0)
+        wq = jax.lax.dynamic_slice_in_dim(inv_mass, off, nq, 0)
+        cq = jax.lax.dynamic_slice_in_dim(cells, off, nq, 0)
+        own = off.astype(order.dtype) + jnp.arange(nq, dtype=order.dtype)
+
+    # For each query row and each of its 27 neighbor cells: candidate
+    # window.  Distinct neighbor cells may collide to the same hash slot --
+    # their windows would then be identical and double-count candidates, so
+    # sort the 27 hashes per row and invalidate duplicates (identical hash
     # => identical window, dropping repeats is exact).
-    neighbor_cells = cells[:, None, :] + jnp.asarray(_OFFSETS)[None, :, :]
-    nh = _cell_hash(neighbor_cells, table_size)            # (N, 27)
+    neighbor_cells = cq[:, None, :] + jnp.asarray(_OFFSETS)[None, :, :]
+    nh = _cell_hash(neighbor_cells, table_size)            # (Nq, 27)
     nh = jnp.sort(nh, axis=1)
     dup = jnp.concatenate(
-        [jnp.zeros((n, 1), bool), nh[:, 1:] == nh[:, :-1]], axis=1)
+        [jnp.zeros((nq, 1), bool), nh[:, 1:] == nh[:, :-1]], axis=1)
 
     start = jnp.searchsorted(sorted_hash, nh.reshape(-1), side="left")
     end = jnp.searchsorted(sorted_hash, nh.reshape(-1), side="right")
-    start = start.reshape(n, 27)
-    end = end.reshape(n, 27)
+    start = start.reshape(nq, 27)
+    end = end.reshape(nq, 27)
 
     slot = jnp.arange(max_per_cell, dtype=jnp.int32)        # (M,)
     min_dist = 2.0 * radius
-    own = jnp.arange(n, dtype=order.dtype)
 
     def one_offset(acc, inp):
-        s, e, dp = inp                                      # (N,) each
-        cand_pos = s[:, None] + slot[None, :]               # (N, M)
+        s, e, dp = inp                                      # (Nq,) each
+        cand_pos = s[:, None] + slot[None, :]               # (Nq, M)
         cand_valid = (cand_pos < e[:, None]) & (~dp[:, None])
         cand = order[jnp.clip(cand_pos, 0, n - 1)]          # particle ids
 
-        d = p[:, None, :] - p[cand]
+        d = pq[:, None, :] - p[cand]
         dist2 = jnp.sum(d * d, axis=-1)
         hit = cand_valid & (cand != own[:, None]) & (
             dist2 < min_dist * min_dist) & (dist2 > 1e-18)
@@ -111,7 +132,7 @@ def self_collision_deltas(p, inv_mass, radius, cell_size, max_per_cell,
         dist = jnp.sqrt(jnp.maximum(dist2, 1e-18))
         nvec = d / dist[..., None]
 
-        wi = inv_mass[:, None]
+        wi = wq[:, None]
         wj = inv_mass[cand]
         wsum = wi + wj
         share = jnp.where(
@@ -122,7 +143,7 @@ def self_collision_deltas(p, inv_mass, radius, cell_size, max_per_cell,
         return acc + jnp.sum(push, axis=1), None
 
     deltas, _ = jax.lax.scan(
-        one_offset, jnp.zeros((n, 3), p.dtype),
+        one_offset, jnp.zeros((nq, 3), p.dtype),
         (start.T, end.T, dup.T))
     if not return_overflow:
         return deltas
@@ -143,6 +164,22 @@ def required_max_per_cell(p, cell_size, num_particles: int = None) -> int:
     if len(h) == 0:
         return 1
     return int(np.bincount(h).max())
+
+
+def park_offsets(dead, cell_size, radius, thickness=0.0):
+    """(N,) bool dead-row mask -> (N, 3) f32 offset table parking each dead
+    row in its own far-away hash cell (> one cell AND > 2*radius AND
+    > thickness apart), zeros for live rows.  Added to positions before a
+    hash stage so pad/dead rows can never touch live particles -- the same
+    construction the single-chip Pallas paths use for dead layout lanes
+    (solver/jacobi_pallas.py)."""
+    dead = np.asarray(dead, bool)
+    n = len(dead)
+    spacing = 2.0 * max(cell_size, 2.0 * radius, thickness)
+    off = np.zeros((n, 3), np.float32)
+    off[:, 0] = np.where(
+        dead, np.float32(1e6) * cell_size + np.arange(n) * spacing, 0.0)
+    return off
 
 
 def make_self_collision_fn(params, rest=None, num_particles=None):

@@ -93,11 +93,21 @@ def closest_point_triangle(p, a, b, c):
 
 
 def surface_collision_deltas(p, inv_mass, tris, thickness, cell_size,
-                             max_per_cell, return_overflow: bool = False):
+                             max_per_cell, return_overflow: bool = False,
+                             own_offset=None, own_count: int = None):
     """Per-particle AND per-triangle-corner contact deltas.
 
     p (N,3), inv_mass (N,), tris (T,3) surface triangles into p.
     Returns (N,3) summed deltas (vertex pushes + corner reactions).
+
+    Own-slice mode (``own_offset``/``own_count`` set, the sharded-step
+    form): the triangle hash covers ALL of ``p`` but only query vertices
+    ``[own_offset, own_offset + own_count)`` are evaluated.  Returns
+    ``(vertex_deltas (own_count, 3), corner_reactions (N, 3))`` -- corner
+    reactions from own-vertex contacts scatter anywhere, so the caller
+    psums the (N, 3) array over the mesh axis and adds its own row slice
+    (each contact is owned by exactly one device: contributions land once).
+    ``own_offset`` may be traced; ``own_count`` must be static.
     """
     n = p.shape[0]
     tris = jnp.asarray(tris, jnp.int32)
@@ -114,30 +124,41 @@ def surface_collision_deltas(p, inv_mass, tris, thickness, cell_size,
     order = jnp.argsort(thash)
     sorted_hash = thash[order]
 
-    pcells = jnp.floor(p / cell_size).astype(jnp.int32)
+    if own_offset is None:
+        pq, wq = p, inv_mass
+        own_ids = jnp.arange(n)
+        nq = n
+    else:
+        nq = int(own_count)
+        off = jnp.asarray(own_offset, jnp.int32)
+        pq = jax.lax.dynamic_slice_in_dim(p, off, nq, 0)
+        wq = jax.lax.dynamic_slice_in_dim(inv_mass, off, nq, 0)
+        own_ids = off + jnp.arange(nq, dtype=jnp.int32)
+
+    pcells = jnp.floor(pq / cell_size).astype(jnp.int32)
     nh = _cell_hash(pcells[:, None, :] + jnp.asarray(_OFFSETS)[None],
                     table_size)
     nh = jnp.sort(nh, axis=1)
     dup = jnp.concatenate(
-        [jnp.zeros((n, 1), bool), nh[:, 1:] == nh[:, :-1]], axis=1)
+        [jnp.zeros((nq, 1), bool), nh[:, 1:] == nh[:, :-1]], axis=1)
 
-    start = jnp.searchsorted(sorted_hash, nh.reshape(-1)).reshape(n, 27)
+    start = jnp.searchsorted(sorted_hash, nh.reshape(-1)).reshape(nq, 27)
     end = jnp.searchsorted(sorted_hash, nh.reshape(-1),
-                           side="right").reshape(n, 27)
+                           side="right").reshape(nq, 27)
     slot = jnp.arange(max_per_cell, dtype=jnp.int32)
-    cand_pos = start[:, :, None] + slot[None, None, :]        # (N,27,M)
+    cand_pos = start[:, :, None] + slot[None, None, :]        # (Nq,27,M)
     cand_valid = (cand_pos < end[:, :, None]) & (~dup[:, :, None])
     cand = order[jnp.clip(cand_pos, 0, nt - 1)]               # tri ids
 
-    ta = tris[cand]                                           # (N,27,M,3)
-    own = ((ta[..., 0] == jnp.arange(n)[:, None, None])
-           | (ta[..., 1] == jnp.arange(n)[:, None, None])
-           | (ta[..., 2] == jnp.arange(n)[:, None, None]))
+    ta = tris[cand]                                           # (Nq,27,M,3)
+    own = ((ta[..., 0] == own_ids[:, None, None])
+           | (ta[..., 1] == own_ids[:, None, None])
+           | (ta[..., 2] == own_ids[:, None, None]))
 
     pa = p[ta[..., 0]]
     pb = p[ta[..., 1]]
     pc = p[ta[..., 2]]
-    pi = p[:, None, None, :]
+    pi = pq[:, None, None, :]
     closest, bary = closest_point_triangle(pi, pa, pb, pc)
     d = pi - closest
     dist2 = jnp.sum(d * d, -1)
@@ -146,7 +167,7 @@ def surface_collision_deltas(p, inv_mass, tris, thickness, cell_size,
     hit = cand_valid & (~own) & (dist < thickness) & (dist2 > 1e-16)
     nrm = d / dist[..., None]
 
-    wp = inv_mass[:, None, None]
+    wp = wq[:, None, None]
     wa = inv_mass[ta[..., 0]]
     wb = inv_mass[ta[..., 1]]
     wc = inv_mass[ta[..., 2]]
@@ -157,16 +178,26 @@ def surface_collision_deltas(p, inv_mass, tris, thickness, cell_size,
                   0.0)
 
     # particle side
-    deltas = jnp.sum(nrm * (s * wp)[..., None], axis=(1, 2))
+    vertex_deltas = jnp.sum(nrm * (s * wp)[..., None], axis=(1, 2))
 
     # triangle-corner reactions, scattered (off the hot loop; correctness
     # over scatter speed here)
+    corners = (jnp.zeros((n, 3), p.dtype) if own_offset is not None
+               else vertex_deltas)
     flat_n = nrm.reshape(-1, 3)
     flat_s = s.reshape(-1)
     for k, wk in ((0, wa), (1, wb), (2, wc)):
         contrib = -flat_n * (flat_s * (wk * bary[..., k]).reshape(-1))[:, None]
-        deltas = deltas.at[ta[..., k].reshape(-1)].add(contrib)
+        corners = corners.at[ta[..., k].reshape(-1)].add(contrib)
 
+    if own_offset is not None:
+        if return_overflow:
+            dropped = jnp.where(
+                dup, 0, jnp.maximum(end - start - max_per_cell, 0))
+            return vertex_deltas, corners, jnp.sum(dropped).astype(jnp.int32)
+        return vertex_deltas, corners
+
+    deltas = corners
     if not return_overflow:
         return deltas
     dropped = jnp.where(dup, 0, jnp.maximum(end - start - max_per_cell, 0))

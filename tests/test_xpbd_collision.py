@@ -242,36 +242,26 @@ def test_xpbd_pallas_surface_collision_behavioral():
     assert sep(on) > sep(off) + 0.005
 
 
-def test_sharded_steps_reject_global_collision_stages():
-    """The sharded steps run per-device stages only; the spatial hash is a
-    global stage, so the flags must raise loudly instead of silently
-    skipping physics."""
-    import jax
+# (round 3 lifted the self/surface stages onto every XLA sharded backend --
+# the old reject-the-flags contract is superseded by the parity tests in
+# tests/test_sharding_collision.py)
+
+
+def test_sharded_pallas_steps_reject_global_collision_stages():
+    """The sharded *Pallas* steps still run per-device stages only; the
+    flags must raise loudly instead of silently skipping physics."""
     from softbodysim_tpu.parallel import make_mesh
-    from softbodysim_tpu.parallel.sharding import (
-        make_mesh_sharded_step, make_xpbd_sharded_step,
-        make_vertex_sharded_step, make_xpbd_vertex_sharded_step)
+    from softbodysim_tpu.solver.jacobi_pallas_sharded import (
+        make_jacobi_pallas_sharded_step)
     from softbodysim_tpu.solver.xpbd_pallas_sharded import (
         make_xpbd_pallas_sharded_step)
 
     topo = meshes.tet_cube(2, 2, 2, center=(0.0, 0.5, 0.0))
     mesh1d = make_mesh(shape=(8,), axis_names=("model",))
-
     scp = SolverParams(dialect="jacobi", **_SC)
     xcp = SolverParams(dialect="xpbd", **_SC)
-    sfp = SolverParams(dialect="jacobi", surface_collision=True)
 
-    mesh2d = make_mesh(shape=(4, 2))
-    for thunk in [
-        lambda: make_mesh_sharded_step(topo, scp, mesh2d),
-        lambda: make_mesh_sharded_step(topo, sfp, mesh2d),
-        lambda: make_xpbd_sharded_step(topo, xcp, mesh2d),
-        lambda: make_vertex_sharded_step(topo, scp, mesh1d, axis="model"),
-        lambda: make_xpbd_vertex_sharded_step(topo, xcp, mesh1d,
-                                              axis="model"),
-    ]:
-        with pytest.raises(ValueError, match="collision"):
-            thunk()
-
+    with pytest.raises(ValueError, match="collision"):
+        make_jacobi_pallas_sharded_step(topo, scp, mesh1d, axis="model")
     with pytest.raises(ValueError, match="collision"):
         make_xpbd_pallas_sharded_step(topo, xcp, mesh1d, axis="model")
