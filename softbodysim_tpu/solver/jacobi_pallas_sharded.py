@@ -32,8 +32,10 @@ single-device jacobi Pallas backend at 1e-5 on CPU meshes.
 
 Supported feature set mirrors the XPBD sharded path: gravity, ground
 plane (the jacobi dialect's arbitrary point+normal plane with particle
-radius), stiffness/omega from params.  Primitive colliders and
-per-constraint stiffness tables stay single-chip for now.
+radius), stiffness/omega from params, self/surface collision (own-slice
+hash stages over the all-gathered table, solver/global_stages.py).
+Primitive colliders and per-constraint stiffness tables stay single-chip
+for now.
 """
 
 from __future__ import annotations
@@ -69,11 +71,6 @@ def make_jacobi_pallas_sharded_step(topology, params: SolverParams,
         interpret = jax.default_backend() != "tpu"
     if params.dialect != "jacobi":
         raise ValueError("sharded jacobi path implements the jacobi dialect")
-    if params.self_collision or params.surface_collision:
-        raise ValueError(
-            "sharded jacobi path does not support self/surface collision "
-            "(the spatial hash is a global stage; use the single-device "
-            "pallas backend)")
 
     D = mesh.shape[axis]
     V = topology.num_particles
@@ -127,6 +124,27 @@ def make_jacobi_pallas_sharded_step(topology, params: SolverParams,
         else np.array([0.0, 1.0, 0.0], np.float32))
     perm_j = jnp.asarray(perm_layout)
     old2new_j = jnp.asarray(old2new)
+
+    # ---- global collision stages (self / surface), own-slice form --------
+    # Same construction as the xpbd sharded path: device d owns layout rows
+    # [d*wd*128, (d+1)*wd*128); each iteration all-gathers positions and
+    # evaluates only the own slice against the global hash
+    # (solver/global_stages.py); dead lanes parked in far-away cells.
+    from .global_stages import build_sliced_stages
+
+    _verts_pad = np.concatenate(
+        [np.asarray(topology.vertices, np.float32),
+         np.zeros((1, 3), np.float32)], axis=0)
+    _tris_rows = None
+    if params.surface_collision and len(topology.surface_tris):
+        _tris_rows = np.asarray(old2new)[
+            np.asarray(topology.surface_tris, np.int64).reshape(-1, 3)]
+    self_fn, surf_fn, _iso = build_sliced_stages(
+        topology, params, rest_rows=_verts_pad[perm_layout],
+        dead=(perm_layout == V), tris_rows=_tris_rows)
+    iso_rows = jnp.asarray(_iso.T)               # (3, vpad), row layout
+    has_stage = self_fn is not None or surf_fn is not None
+    vb = wd * LANES
 
     # ---- sharded pass: halo in, accumulate, home, apply ------------------
     def _build_ext(fam: _Family, x8, statics):
@@ -190,7 +208,7 @@ def make_jacobi_pallas_sharded_step(topology, params: SolverParams,
         """shard_map'd n-step runner (n is static: scan length)."""
 
         def shard_body(x8, vv, sdt, k_edge, k_vol, om,
-                       e_tabs, t_tabs, e_st, t_st):
+                       e_tabs, t_tabs, e_st, t_st, iso_r):
             sq = lambda tup: tuple(a[0] for a in tup)
             e_tabs2 = (sq(e_tabs[:4]) + (e_tabs[4],)) if efam else None
             t_tabs2 = (sq(t_tabs[:4]) + (t_tabs[4],)) if tfam else None
@@ -205,6 +223,34 @@ def make_jacobi_pallas_sharded_step(topology, params: SolverParams,
             e_st2 = sq(e_st) if efam is not None else None
             t_st2 = sq(t_st) if tfam is not None else None
             ss = max(1, params.substeps)
+            if has_stage:
+                # inverse masses are invariant across the program
+                w_full = jax.lax.all_gather(x8[3], axis, tiled=True)
+                off = jax.lax.axis_index(axis) * vb
+
+            def _gather_parked(x8):
+                """Full parked position table (vpad, 3) for the hash."""
+                return (jax.lax.all_gather(x8[0:3], axis, axis=1,
+                                           tiled=True) + iso_r).T
+
+            def collide_stage(x8):
+                """Same per-iteration slot as the single-chip Pallas path
+                (passes -> ground -> self -> surface); each stage reads one
+                global snapshot, so the union of own-slice hit sets equals
+                the unsliced evaluation."""
+                free = x8[3] != 0.0
+                if self_fn is not None:
+                    d = self_fn(_gather_parked(x8), w_full, radius, off, vb)
+                    x8 = x8.at[0:3].set(
+                        jnp.where(free, x8[0:3] + d.T, x8[0:3]))
+                if surf_fn is not None:
+                    vd, corners = surf_fn(_gather_parked(x8), w_full,
+                                          off, vb)
+                    corners = jax.lax.psum(corners, axis)
+                    cd = jax.lax.dynamic_slice_in_dim(corners, off, vb, 0)
+                    x8 = x8.at[0:3].set(
+                        jnp.where(free, x8[0:3] + (vd + cd).T, x8[0:3]))
+                return x8
 
             def substep(carry, _):
                 x8, vv = carry
@@ -223,6 +269,8 @@ def make_jacobi_pallas_sharded_step(topology, params: SolverParams,
                                           t_st2)
                     if params.ground_enabled:
                         x8 = ground(x8)
+                    if has_stage:
+                        x8 = collide_stage(x8)
                     return x8, None
 
                 x8, _ = jax.lax.scan(iteration, x8, None,
@@ -250,7 +298,8 @@ def make_jacobi_pallas_sharded_step(topology, params: SolverParams,
                       jtspec if efam else P(None),
                       jtspec if tfam else P(None),
                       sspec if efam else P(None),
-                      sspec if tfam else P(None)),
+                      sspec if tfam else P(None),
+                      P(None, None)),
             out_specs=(shp, shp),
             check_vma=False)
 
@@ -278,7 +327,8 @@ def make_jacobi_pallas_sharded_step(topology, params: SolverParams,
             efam.tables if efam else dummy,
             tfam.tables if tfam else dummy,
             e_statics if efam is not None else dummy,
-            t_statics if tfam is not None else dummy)
+            t_statics if tfam is not None else dummy,
+            iso_rows)
 
         def unrows(rowsa):
             return rowsa.T[old2new_j]

@@ -290,11 +290,6 @@ def make_xpbd_pallas_sharded_step(topology, params: SolverParams,
         interpret = jax.default_backend() != "tpu"
     if params.dialect != "xpbd":
         raise ValueError("sharded pallas path implements the xpbd dialect")
-    if params.self_collision or params.surface_collision:
-        raise ValueError(
-            "sharded xpbd pallas path does not support self/surface "
-            "collision (the spatial hash is a global stage; use the "
-            "single-device pallas backend)")
 
     D = mesh.shape[axis]
     V = topology.num_particles
@@ -343,6 +338,28 @@ def make_xpbd_pallas_sharded_step(topology, params: SolverParams,
     fr = min(1.0, max(0.0, params.friction))
     perm_j = jnp.asarray(perm_layout)
     old2new_j = jnp.asarray(old2new)
+
+    # ---- global collision stages (self / surface), own-slice form --------
+    # Device d owns the contiguous layout rows [d*wd*128, (d+1)*wd*128);
+    # each iteration all-gathers the full position table and evaluates only
+    # the own slice against the global hash (solver/global_stages.py).
+    # Dead layout lanes (perm == V) are parked in far-away hash cells.
+    from .global_stages import build_sliced_stages
+
+    _verts_pad = np.concatenate(
+        [np.asarray(topology.vertices, np.float32),
+         np.zeros((1, 3), np.float32)], axis=0)
+    _tris_rows = None
+    if params.surface_collision and len(topology.surface_tris):
+        _tris_rows = np.asarray(old2new)[
+            np.asarray(topology.surface_tris, np.int64).reshape(-1, 3)]
+    self_fn, surf_fn, _iso = build_sliced_stages(
+        topology, params, rest_rows=_verts_pad[perm_layout],
+        dead=(perm_layout == V), tris_rows=_tris_rows)
+    iso_rows = jnp.asarray(_iso.T)               # (3, vpad), row layout
+    sc_radius = max(1e-6, params.particle_radius)
+    has_stage = self_fn is not None or surf_fn is not None
+    vb = wd * LANES
 
     # ---- sharded sweep with halo exchange (runs inside shard_map) --------
     def _build_ext(fam: _Family, x8, statics):
@@ -418,7 +435,7 @@ def make_xpbd_pallas_sharded_step(topology, params: SolverParams,
         """shard_map'd n-step runner (n is static: scan length)."""
 
         def shard_body(x8, xp, vv, lam_e, lam_t, sdt, e_alpha, t_alpha,
-                       e_tabs, t_tabs, e_st, t_st):
+                       e_tabs, t_tabs, e_st, t_st, iso_r):
             # squeeze the leading device axis off every sharded table
             sq = lambda tup: tuple(a[0] for a in tup)
             lam_e = lam_e[0] if efam is not None else lam_e
@@ -436,6 +453,35 @@ def make_xpbd_pallas_sharded_step(topology, params: SolverParams,
                 t_tabs2 = tfam.sweep.fill_w(
                     _build_ext(tfam, x8, t_st2)[0], t_tabs2)
             ss = max(1, params.substeps)
+            if has_stage:
+                # inverse masses are invariant across the program
+                w_full = jax.lax.all_gather(x8[3], axis, tiled=True)
+                off = jax.lax.axis_index(axis) * vb
+
+            def _gather_parked(x8):
+                """Full parked position table (vpad, 3) for the hash."""
+                return (jax.lax.all_gather(x8[0:3], axis, axis=1,
+                                           tiled=True) + iso_r).T
+
+            def collide_stage(x8):
+                """Same per-iteration slot as the single-chip Pallas path
+                (sweeps -> ground -> self -> surface); each stage reads one
+                global snapshot, so the union of own-slice hit sets equals
+                the unsliced evaluation."""
+                free = x8[3] != 0.0
+                if self_fn is not None:
+                    d = self_fn(_gather_parked(x8), w_full, sc_radius,
+                                off, vb)
+                    x8 = x8.at[0:3].set(
+                        jnp.where(free, x8[0:3] + d.T, x8[0:3]))
+                if surf_fn is not None:
+                    vd, corners = surf_fn(_gather_parked(x8), w_full,
+                                          off, vb)
+                    corners = jax.lax.psum(corners, axis)
+                    cd = jax.lax.dynamic_slice_in_dim(corners, off, vb, 0)
+                    x8 = x8.at[0:3].set(
+                        jnp.where(free, x8[0:3] + (vd + cd).T, x8[0:3]))
+                return x8
 
             def substep(carry, _):
                 x8, xp, vv, lam_e, lam_t = carry
@@ -451,6 +497,8 @@ def make_xpbd_pallas_sharded_step(topology, params: SolverParams,
                             tfam, x8, lam_t, t_alpha, t_tabs2, t_st2)
                     if params.ground_enabled:
                         x8 = ground(x8)
+                    if has_stage:
+                        x8 = collide_stage(x8)
                     return (x8, lam_e, lam_t), None
 
                 (x8, lam_e, lam_t), _ = jax.lax.scan(
@@ -483,7 +531,8 @@ def make_xpbd_pallas_sharded_step(topology, params: SolverParams,
                       tspec if efam else P(None),
                       tspec if tfam else P(None),
                       sspec if efam else P(None),
-                      sspec if tfam else P(None)),
+                      sspec if tfam else P(None),
+                      P(None, None)),
             out_specs=(shp, shp, shp,
                        lshp if efam else P(None),
                        lshp if tfam else P(None)),
@@ -527,7 +576,8 @@ def make_xpbd_pallas_sharded_step(topology, params: SolverParams,
             efam.tables if efam else dummy,
             tfam.tables if tfam else dummy,
             e_statics if efam is not None else dummy,
-            t_statics if tfam is not None else dummy)
+            t_statics if tfam is not None else dummy,
+            iso_rows)
 
         def unrows(rowsa):
             return rowsa.T[old2new_j]

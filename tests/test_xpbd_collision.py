@@ -242,26 +242,6 @@ def test_xpbd_pallas_surface_collision_behavioral():
     assert sep(on) > sep(off) + 0.005
 
 
-# (round 3 lifted the self/surface stages onto every XLA sharded backend --
+# (round 3 lifted the self/surface stages onto every sharded backend --
 # the old reject-the-flags contract is superseded by the parity tests in
-# tests/test_sharding_collision.py)
-
-
-def test_sharded_pallas_steps_reject_global_collision_stages():
-    """The sharded *Pallas* steps still run per-device stages only; the
-    flags must raise loudly instead of silently skipping physics."""
-    from softbodysim_tpu.parallel import make_mesh
-    from softbodysim_tpu.solver.jacobi_pallas_sharded import (
-        make_jacobi_pallas_sharded_step)
-    from softbodysim_tpu.solver.xpbd_pallas_sharded import (
-        make_xpbd_pallas_sharded_step)
-
-    topo = meshes.tet_cube(2, 2, 2, center=(0.0, 0.5, 0.0))
-    mesh1d = make_mesh(shape=(8,), axis_names=("model",))
-    scp = SolverParams(dialect="jacobi", **_SC)
-    xcp = SolverParams(dialect="xpbd", **_SC)
-
-    with pytest.raises(ValueError, match="collision"):
-        make_jacobi_pallas_sharded_step(topo, scp, mesh1d, axis="model")
-    with pytest.raises(ValueError, match="collision"):
-        make_xpbd_pallas_sharded_step(topo, xcp, mesh1d, axis="model")
+# tests/test_sharding_collision.py and tests/test_pallas_sharded_collision.py)
