@@ -531,7 +531,8 @@ def make_xpbd_sharded_step(topology: Topology, params: SolverParams,
 
 
 def make_vertex_sharded_step(topology: Topology, params: SolverParams,
-                             mesh: Mesh, axis: str = "model"):
+                             mesh: Mesh, axis: str = "model",
+                             colliders: Optional[Colliders] = None):
     """Vertex-sharded single-scene jacobi step: the big-scene scaling mode.
 
     Unlike the constraint-parallel step (positions replicated, deltas
@@ -705,6 +706,14 @@ def make_vertex_sharded_step(topology: Topology, params: SolverParams,
                     jnp.asarray(params.ground_normal, jnp.float32))
                 x_pred_loc = jnp.where((w_loc != 0)[:, None], pw,
                                        x_pred_loc)
+            if colliders is not None and colliders.count > 0:
+                # primitive resolve is per-particle: purely local on the
+                # device's own rows (colliders are replicated PODs)
+                pw = collide_particles(
+                    x_pred_loc, max(1e-6, params.particle_radius),
+                    colliders)
+                x_pred_loc = jnp.where((w_loc != 0)[:, None], pw,
+                                       x_pred_loc)
             if self_fn is not None or surf_fn is not None:
                 off = jax.lax.axis_index(axis) * vb
             if self_fn is not None:
@@ -784,7 +793,8 @@ def make_vertex_sharded_step(topology: Topology, params: SolverParams,
 
 
 def make_xpbd_vertex_sharded_step(topology: Topology, params: SolverParams,
-                                  mesh: Mesh, axis: str = "model"):
+                                  mesh: Mesh, axis: str = "model",
+                                  colliders: Optional[Colliders] = None):
     """XPBD (server contract) with the STATE sharded along vertices and
     O(boundary) halo exchange -- the scale-out mode for single scenes that
     don't fit one chip (round-1 VERDICT missing #4).
@@ -1131,6 +1141,13 @@ def make_xpbd_vertex_sharded_step(topology: Topology, params: SolverParams,
                 x_own = x_own.at[:, 1].set(
                     jnp.where(w_own == 0.0, y,
                               jnp.maximum(y, params.ground_y)))
+            if colliders is not None and colliders.count > 0:
+                # primitive resolve is per-particle: purely local on the
+                # device's own rows (same extension as the single-device
+                # xpbd step: world space, zero radius)
+                x_own = jnp.where((w_own > 0.0)[:, None],
+                                  collide_particles(x_own, 0.0, colliders),
+                                  x_own)
             if self_fn is not None or surf_fn is not None:
                 off = jax.lax.axis_index(axis) * vb
             if self_fn is not None:

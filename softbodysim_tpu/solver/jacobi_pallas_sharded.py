@@ -33,9 +33,10 @@ single-device jacobi Pallas backend at 1e-5 on CPU meshes.
 Supported feature set mirrors the XPBD sharded path: gravity, ground
 plane (the jacobi dialect's arbitrary point+normal plane with particle
 radius), stiffness/omega from params, self/surface collision (own-slice
-hash stages over the all-gathered table, solver/global_stages.py).
-Primitive colliders and per-constraint stiffness tables stay single-chip
-for now.
+hash stages over the all-gathered table, solver/global_stages.py),
+build-time primitive colliders (replicated local resolve).  Runtime
+collider poses and per-constraint stiffness tables stay single-chip for
+now.
 """
 
 from __future__ import annotations
@@ -59,7 +60,8 @@ def make_jacobi_pallas_sharded_step(topology, params: SolverParams,
                                     mesh: Mesh, axis: str = "model",
                                     *, interpret: Optional[bool] = None,
                                     vertex_order: str = "auto",
-                                    layer_cap: Optional[int] = None):
+                                    layer_cap: Optional[int] = None,
+                                    colliders=None):
     """Build ``step(state, dt) -> state`` running the jacobi Pallas passes
     sharded over ``mesh`` axis ``axis`` (see module docstring).
 
@@ -204,6 +206,18 @@ def make_jacobi_pallas_sharded_step(topology, params: SolverParams,
         pushed = p - ground_normal[:, None] * jnp.minimum(d, 0.0)
         return x8.at[0:3].set(jnp.where(free, pushed, p))
 
+    def primitive_collide(x8):
+        """Replicated primitive resolve on the local rows (the jacobi
+        dialect's particle-radius form, SoftBodySolver.cs:554-561).  Dead
+        / pinned lanes (w == 0) are never written."""
+        from ..collide.primitives import collide_particles
+
+        free = x8[3] != 0.0
+        p = collide_particles(x8[0:3].T, radius, colliders)
+        return x8.at[0:3].set(jnp.where(free, p.T, x8[0:3]))
+
+    has_cols = colliders is not None and colliders.count > 0
+
     def make_sharded(n):
         """shard_map'd n-step runner (n is static: scan length)."""
 
@@ -269,6 +283,8 @@ def make_jacobi_pallas_sharded_step(topology, params: SolverParams,
                                           t_st2)
                     if params.ground_enabled:
                         x8 = ground(x8)
+                    if has_cols:
+                        x8 = primitive_collide(x8)
                     if has_stage:
                         x8 = collide_stage(x8)
                     return x8, None

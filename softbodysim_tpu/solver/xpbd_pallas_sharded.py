@@ -277,7 +277,8 @@ def make_xpbd_pallas_sharded_step(topology, params: SolverParams,
                                   mesh: Mesh, axis: str = "model",
                                   *, interpret: Optional[bool] = None,
                                   vertex_order: str = "auto",
-                                  layer_cap: Optional[int] = None):
+                                  layer_cap: Optional[int] = None,
+                                  colliders=None):
     """Build ``step(state, dt) -> state`` running the Pallas sweep backend
     sharded over ``mesh`` axis ``axis`` (see module docstring).
 
@@ -416,6 +417,18 @@ def make_xpbd_pallas_sharded_step(topology, params: SolverParams,
         return x8.at[1].set(
             jnp.where(free, jnp.maximum(y, params.ground_y), y))
 
+    def primitive_collide(x8):
+        """Replicated primitive resolve on the local rows (same extension
+        as the single-device xpbd step: world space, zero radius).  Dead /
+        pinned lanes (w == 0) are never written."""
+        from ..collide.primitives import collide_particles
+
+        free = x8[3] != 0.0
+        p = collide_particles(x8[0:3].T, 0.0, colliders)
+        return x8.at[0:3].set(jnp.where(free, p.T, x8[0:3]))
+
+    has_cols = colliders is not None and colliders.count > 0
+
     def commit(x8, xp, vv, sdt):
         inv_dt = jnp.where(sdt > 1e-12, 1.0 / sdt, 0.0)
         free = x8[3:4] != 0.0
@@ -497,6 +510,8 @@ def make_xpbd_pallas_sharded_step(topology, params: SolverParams,
                             tfam, x8, lam_t, t_alpha, t_tabs2, t_st2)
                     if params.ground_enabled:
                         x8 = ground(x8)
+                    if has_cols:
+                        x8 = primitive_collide(x8)
                     if has_stage:
                         x8 = collide_stage(x8)
                     return (x8, lam_e, lam_t), None
