@@ -48,7 +48,13 @@ class Engine:
                  colliders: Optional[Colliders] = None,
                  pinned=None, inv_mass_mode: Optional[str] = None,
                  density: float = 1.0, pin_top_layer: bool = False,
+                 mesh=None, shard_axis: str = "model",
                  **solver_kw):
+        """``mesh`` (a jax.sharding.Mesh) switches to the single-scene
+        multi-chip backends (parallel/sharding.make_sharded_step): the same
+        step/run/positions API, state sharded/executed across the mesh axis
+        ``shard_axis``.  Colliders are then build-time (replicated local
+        resolve); ``update_colliders`` rebuilds the sharded step."""
         if inv_mass_mode is None:
             # server dialect defaults to tet-volume inverse masses
             # (Sim.cpp:63-79); in-engine dialect to density lumping
@@ -57,11 +63,23 @@ class Engine:
         self.topology = topology
         self.params = params
         self.colliders = colliders
+        self.mesh = mesh
+        self.shard_axis = shard_axis
+        # sharded steps bake colliders in at build time; single-device
+        # steps take per-step colliders_rt overrides (runtime poses)
+        self._cols_runtime = mesh is None
         self.state: SimState = init_state(
             topology, pinned=pinned, inv_mass_mode=inv_mass_mode,
             density=density, pin_top_layer=pin_top_layer)
-        self._raw_step = make_step(topology, params, colliders=colliders,
-                                   **solver_kw)
+        if mesh is not None:
+            from ..parallel.sharding import make_sharded_step
+
+            self._raw_step = make_sharded_step(
+                topology, params, mesh, axis=shard_axis,
+                colliders=colliders, **solver_kw)
+        else:
+            self._raw_step = make_step(topology, params,
+                                       colliders=colliders, **solver_kw)
         self._step = self._wrap(self._raw_step)
 
     # ---- lazy public state over the carry backends -----------------------
@@ -101,7 +119,8 @@ class Engine:
         colliders/bodies (same shapes as the construction-time template, so
         no recompilation -- the per-step snapshot semantics of
         SoftBodyManager.RebuildColliderCache)."""
-        if self.colliders is not None and "colliders_rt" not in overrides:
+        if (self._cols_runtime and self.colliders is not None
+                and "colliders_rt" not in overrides):
             overrides["colliders_rt"] = self.colliders
         rc = getattr(self._raw_step, "run_carry", None)
         if rc is not None:
@@ -113,12 +132,24 @@ class Engine:
         return self
 
     def update_colliders(self, colliders: Colliders) -> "Engine":
-        """Replace collider poses for subsequent steps (count must match)."""
+        """Replace collider poses for subsequent steps (count must match).
+        Sharded engines bake colliders in at build time, so this rebuilds
+        the sharded step (a recompile on the next call)."""
         if (self.colliders is None) or (colliders.count
                                         != self.colliders.count):
             raise ValueError("collider count must match the template; use "
                              "switch_params to change the set")
         self.colliders = colliders
+        if not self._cols_runtime:
+            from ..parallel.sharding import make_sharded_step
+
+            self.state = self.state      # materialize any carry first
+            self._raw_step = make_sharded_step(
+                self.topology, self.params, self.mesh,
+                axis=self.shard_axis, colliders=colliders)
+            self._step = self._wrap(self._raw_step)
+            self._step_n = None
+            self._step_n_key = None
         return self
 
     # Multi-step bursts run in fixed-size chunks so an Engine compiles at
@@ -135,9 +166,10 @@ class Engine:
         of per step; the remainder runs as single steps."""
         rc = getattr(self._raw_step, "run_carry", None)
         chunk = self.RUN_CHUNK
+        cols_rt = self.colliders if self._cols_runtime else None
         if rc is not None:
-            kw = ({"colliders_rt": self.colliders}
-                  if self.colliders is not None else {})
+            kw = ({"colliders_rt": cols_rt}
+                  if cols_rt is not None else {})
             self._ensure_carry()
             for _ in range(steps // chunk):
                 self._carry = rc(self._carry, dt, chunk, **kw)
@@ -147,18 +179,18 @@ class Engine:
             return self
         step_n = getattr(self._raw_step, "step_n", None)
         if step_n is not None and steps >= chunk:
-            key = self.colliders is not None
+            key = cols_rt is not None
             if getattr(self, "_step_n_key", None) != key:
                 self._step_n = None
                 self._step_n_key = key
             if getattr(self, "_step_n", None) is None:
                 if getattr(step_n, "prejit", False):
-                    if self.colliders is not None:
+                    if cols_rt is not None:
                         self._step_n = lambda s, d, c: step_n(
                             s, d, chunk, colliders_rt=c)
                     else:
                         self._step_n = lambda s, d: step_n(s, d, chunk)
-                elif self.colliders is not None:
+                elif cols_rt is not None:
                     # colliders_rt is part of the step_n contract; a
                     # backend without it falls back to the per-step loop
                     # instead of raising TypeError at the first run().
@@ -177,8 +209,8 @@ class Engine:
                     self._step_n = jax.jit(
                         lambda s, d: step_n(s, d, chunk), donate_argnums=0)
             for _ in range(steps // chunk):
-                if self.colliders is not None:
-                    self.state = self._step_n(self.state, dt, self.colliders)
+                if cols_rt is not None:
+                    self.state = self._step_n(self.state, dt, cols_rt)
                 else:
                     self.state = self._step_n(self.state, dt)
             steps %= chunk
@@ -228,8 +260,15 @@ class Engine:
         self.params = params
         self.colliders = colliders
         self.state = self.state       # materialize, then drop the old carry
-        self._raw_step = make_step(self.topology, params,
-                                   colliders=colliders, **solver_kw)
+        if self.mesh is not None:
+            from ..parallel.sharding import make_sharded_step
+
+            self._raw_step = make_sharded_step(
+                self.topology, params, self.mesh, axis=self.shard_axis,
+                colliders=colliders, **solver_kw)
+        else:
+            self._raw_step = make_step(self.topology, params,
+                                       colliders=colliders, **solver_kw)
         self._step = self._wrap(self._raw_step)
         self._step_n = None
         self._step_n_key = None

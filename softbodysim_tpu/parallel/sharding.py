@@ -1257,3 +1257,73 @@ def make_data_parallel_step(topology: Topology, params: SolverParams,
         return place(fn(place(state), dt))
 
     return step
+
+
+def make_sharded_step(topology: Topology, params: SolverParams, mesh: Mesh,
+                      axis: str = "model",
+                      colliders: Optional[Colliders] = None,
+                      interpret: Optional[bool] = None):
+    """Uniform single-scene multi-chip step over the public SimState --
+    the ``Engine(mesh=...)`` entry point.
+
+    Dispatch mirrors the single-device backend selection (solver/xpbd.py:
+    225-236, solver/jacobi.py:228-247): the Pallas window-sharded paths for
+    big scenes on real TPU or when the backend is forced to "pallas"; the
+    XLA vertex-sharded modes otherwise.  All paths return
+    ``step(state, dt) -> state`` with public vertex/constraint order;
+    primitive colliders are build-time (replicated local resolve), and the
+    self/surface hash stages run in own-slice form on every path.
+    """
+    big = (topology.num_edges + topology.num_tets) >= 100_000
+    on_tpu = jax.default_backend() == "tpu"
+
+    if params.dialect == "xpbd":
+        backend = params.xpbd_backend
+        if backend == "auto":
+            backend = "pallas" if (big and on_tpu) else "gather"
+        if backend == "pallas":
+            from ..solver.xpbd_pallas_sharded import (
+                make_xpbd_pallas_sharded_step)
+
+            return make_xpbd_pallas_sharded_step(
+                topology, params, mesh, axis, interpret=interpret,
+                colliders=colliders)
+        return make_xpbd_vertex_sharded_step(topology, params, mesh, axis,
+                                             colliders=colliders)
+
+    if params.dialect == "jacobi":
+        backend = params.jacobi_backend
+        if backend == "auto":
+            backend = "pallas" if (big and on_tpu) else "gather"
+        if backend == "pallas":
+            from ..solver.jacobi_pallas_sharded import (
+                make_jacobi_pallas_sharded_step)
+
+            return make_jacobi_pallas_sharded_step(
+                topology, params, mesh, axis, interpret=interpret,
+                colliders=colliders)
+
+        # the XLA vertex-sharded jacobi step runs on a padded (x, v, w)
+        # tuple; adapt it to the public SimState boundary (pad/slice are
+        # cheap device-side reshapes inside the caller's jit)
+        inner = make_vertex_sharded_step(topology, params, mesh, axis,
+                                         colliders=colliders)
+        nv = topology.num_particles
+        vpad = inner.vpad
+
+        def pad3(a):
+            return jnp.concatenate(
+                [a, jnp.zeros((vpad - nv, 3), a.dtype)], axis=0)
+
+        def step(state: SimState, dt) -> SimState:
+            w = jnp.concatenate(
+                [state.inv_mass, jnp.zeros((vpad - nv,), jnp.float32)])
+            x, v, _ = inner((pad3(state.x), pad3(state.v), w), dt)
+            x, v = x[:nv], v[:nv]
+            return SimState(
+                x=x, v=v, x_star=x, inv_mass=state.inv_mass,
+                edge_lambda=state.edge_lambda, tet_lambda=state.tet_lambda)
+
+        return step
+
+    raise ValueError(f"unknown dialect {params.dialect!r}")
