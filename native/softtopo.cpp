@@ -456,8 +456,21 @@ void* st_pack_super(const int64_t* cons, int64_t n, int32_t arity,
   std::vector<int64_t> spill;
   std::vector<int32_t> cur_slots;
   std::array<std::vector<int64_t>, 8> cur_lanes;
-  std::unordered_map<int64_t, int32_t> counts;  // (g<<48)|vertex -> mult
   int cur_n = 0, streak = 0;
+
+  // Per-(sublane, vertex) multiplicity within the current block.  The
+  // original unordered_map dominated the scan at megascale; this is the
+  // same data as epoch-stamped flat arrays (epoch bump == map.clear()),
+  // bit-identical plan, O(1) un-hashed probes.
+  int64_t maxv = 0;
+  for (int64_t i = 0; i < n * arity; i++) maxv = std::max(maxv, cons[i]);
+  const int64_t vstride = maxv + 1;
+  std::vector<int32_t> mult((size_t)(8 * vstride), 0);
+  std::vector<int32_t> mstamp((size_t)(8 * vstride), -1);
+  // window -> present-in-cur_slots, same trick (windows <= maxv/128)
+  const int64_t nwin_ub = maxv / LANES + 1;
+  std::vector<int32_t> wstamp((size_t)nwin_ub, -1);
+  int32_t epoch = 0;
 
   auto close = [&]() {
     if (cur_n) {
@@ -466,7 +479,7 @@ void* st_pack_super(const int64_t* cons, int64_t n, int32_t arity,
     }
     cur_slots.clear();
     for (auto& l : cur_lanes) l.clear();
-    counts.clear();
+    epoch++;
     cur_n = 0;
     streak = 0;
   };
@@ -484,11 +497,8 @@ void* st_pack_super(const int64_t* cons, int64_t n, int32_t arity,
         if (!dup) ws[nw++] = w;
       }
       int n_new = 0;
-      for (int k = 0; k < nw; k++) {
-        bool have = false;
-        for (int32_t s : cur_slots) have |= (s == ws[k]);
-        if (!have) n_new++;
-      }
+      for (int k = 0; k < nw; k++)
+        if (wstamp[ws[k]] != epoch) n_new++;
       if (cur_n >= 8 * LANES ||
           (int)cur_slots.size() + n_new > slots_cap) {
         if (cur_n >= 8 * LANES || streak >= 256) {
@@ -506,8 +516,8 @@ void* st_pack_super(const int64_t* cons, int64_t n, int32_t arity,
         if ((int)cur_lanes[g].size() >= LANES) continue;
         int m = 0;
         for (int r = 0; r < arity; r++) {
-          auto it = counts.find(((int64_t)g << 48) | cons[i * arity + r]);
-          if (it != counts.end() && it->second > m) m = it->second;
+          size_t idx = (size_t)g * vstride + cons[i * arity + r];
+          if (mstamp[idx] == epoch && mult[idx] > m) m = mult[idx];
         }
         if (m < best_m) {
           best_g = g;
@@ -521,15 +531,22 @@ void* st_pack_super(const int64_t* cons, int64_t n, int32_t arity,
         continue;
       }
       for (int k = 0; k < nw; k++) {
-        bool have = false;
-        for (int32_t s : cur_slots) have |= (s == ws[k]);
-        if (!have) cur_slots.push_back(ws[k]);
+        if (wstamp[ws[k]] != epoch) {
+          wstamp[ws[k]] = epoch;
+          cur_slots.push_back(ws[k]);
+        }
       }
       cur_lanes[best_g].push_back(i);
       cur_n++;
       streak = 0;
-      for (int r = 0; r < arity; r++)
-        counts[((int64_t)best_g << 48) | cons[i * arity + r]]++;
+      for (int r = 0; r < arity; r++) {
+        size_t idx = (size_t)best_g * vstride + cons[i * arity + r];
+        if (mstamp[idx] != epoch) {
+          mstamp[idx] = epoch;
+          mult[idx] = 0;
+        }
+        mult[idx]++;
+      }
     }
     close();
     remaining.swap(spill);
@@ -539,21 +556,38 @@ void* st_pack_super(const int64_t* cons, int64_t n, int32_t arity,
   if (nb < 1) nb = 1;
   sp->nsup = ((nb + 7) / 8) * 8;
 
-  // dmax needs the layer assignment scan (same as fill, dry run)
-  for (size_t b = 0; b < sp->slot_lists.size(); b++) {
-    std::unordered_map<int64_t, int32_t> ll;
-    const auto& sl = sp->slot_lists[b];
-    for (int g = 0; g < 8; g++)
-      for (int64_t i : sp->lanes[b][g])
-        for (int r = 0; r < arity; r++) {
-          int64_t v = sp->cons[i * arity + r];
-          int t = 0;
-          for (; t < (int)sl.size(); t++)
-            if (sl[t] == (int32_t)(v / LANES)) break;
-          int64_t key = (((int64_t)g * 64 + t) << 32) | (v % LANES);
-          int32_t layer = ll[key]++;
-          if (layer + 1 > sp->dmax) sp->dmax = layer + 1;
-        }
+  // dmax needs the layer assignment scan (same as fill, dry run).  Flat
+  // epoch-stamped counters (g, slot, lane) replace the per-block
+  // unordered_map; a per-block window->slot table kills the linear slot
+  // search.  Identical layer assignment.
+  {
+    const int64_t smax = slots_cap > 0 ? slots_cap : 1;
+    std::vector<int32_t> lcnt((size_t)(8 * smax * LANES), 0);
+    std::vector<int32_t> lstamp((size_t)(8 * smax * LANES), -1);
+    std::vector<int32_t> slot_of((size_t)nwin_ub, 0);
+    std::vector<int32_t> sstamp((size_t)nwin_ub, -1);
+    for (size_t b = 0; b < sp->slot_lists.size(); b++) {
+      const int32_t ep = (int32_t)b;
+      const auto& sl = sp->slot_lists[b];
+      for (size_t t = 0; t < sl.size(); t++) {
+        slot_of[sl[t]] = (int32_t)t;
+        sstamp[sl[t]] = ep;
+      }
+      for (int g = 0; g < 8; g++)
+        for (int64_t i : sp->lanes[b][g])
+          for (int r = 0; r < arity; r++) {
+            int64_t v = sp->cons[i * arity + r];
+            int32_t w = (int32_t)(v / LANES);
+            int t = sstamp[w] == ep ? slot_of[w] : (int)smax - 1;
+            size_t key = ((size_t)g * smax + t) * LANES + (v % LANES);
+            if (lstamp[key] != ep) {
+              lstamp[key] = ep;
+              lcnt[key] = 0;
+            }
+            int32_t layer = lcnt[key]++;
+            if (layer + 1 > sp->dmax) sp->dmax = layer + 1;
+          }
+    }
   }
   return sp;
 }
@@ -574,15 +608,29 @@ void st_pack_fill(void* h, int32_t* slots, int32_t* rel, int32_t* inv,
   std::fill(perm, perm + nsup * 8 * LANES, (int64_t)-1);
   std::fill(scale, scale + nsup * 8 * LANES, 1.0f);
 
+  // Flat epoch-stamped counters replace the per-block unordered_maps (same
+  // data, O(1) un-hashed probes -- the maps dominated fill at megascale).
+  int64_t maxv = 0;
+  for (int64_t x : sp->cons) maxv = std::max(maxv, x);
+  const int64_t vstride = maxv + 1, nwin_ub = maxv / LANES + 1;
+  std::vector<int32_t> tot((size_t)vstride, 0), tstamp((size_t)vstride, -1);
+  std::vector<int32_t> lcnt((size_t)(8 * S * LANES), 0);
+  std::vector<int32_t> lstamp((size_t)(8 * S * LANES), -1);
+  std::vector<int32_t> slot_of((size_t)nwin_ub, 0);
+  std::vector<int32_t> sstamp((size_t)nwin_ub, -1);
+
   for (size_t b = 0; b < sp->slot_lists.size(); b++) {
+    const int32_t ep = (int32_t)b;
     const auto& sl = sp->slot_lists[b];
     for (size_t t = 0; t < sl.size(); t++) slots[b * LANES + t] = sl[t];
     for (size_t t = sl.size(); t < (size_t)S; t++)
       slots[b * LANES + t] = sl.empty() ? 0 : sl[0];
     slots[b * LANES + S] = (int32_t)sl.size();
+    for (size_t t = 0; t < sl.size(); t++) {
+      slot_of[sl[t]] = (int32_t)t;
+      sstamp[sl[t]] = ep;
+    }
 
-    std::unordered_map<int64_t, int32_t> ll;
-    std::unordered_map<int64_t, int32_t> totals;
     for (int g = 0; g < 8; g++) {
       const auto& ln = sp->lanes[b][g];
       for (size_t j = 0; j < ln.size(); j++) {
@@ -590,17 +638,24 @@ void st_pack_fill(void* h, int32_t* slots, int32_t* rel, int32_t* inv,
         perm[((int64_t)b * 8 + g) * LANES + j] = i;
         for (int r = 0; r < arity; r++) {
           int64_t v = sp->cons[i * arity + r];
-          int t = 0;
-          for (; t < (int)sl.size(); t++)
-            if (sl[t] == (int32_t)(v / LANES)) break;
+          int32_t w = (int32_t)(v / LANES);
+          int t = sstamp[w] == ep ? slot_of[w] : (int)sl.size();
           int l_in = (int)(v % LANES);
           rel[(((int64_t)b * arity + r) * 8 + g) * LANES + j] =
               t * LANES + l_in;
-          int64_t key = (((int64_t)g * 64 + t) << 32) | l_in;
-          int32_t layer = ll[key]++;
+          size_t key = ((size_t)g * S + std::min(t, S - 1)) * LANES + l_in;
+          if (lstamp[key] != ep) {
+            lstamp[key] = ep;
+            lcnt[key] = 0;
+          }
+          int32_t layer = lcnt[key]++;
           inv[((((int64_t)b * S + t) * D + layer) * 8 + g) * LANES + l_in] =
               r * LANES + (int32_t)j;
-          totals[v]++;
+          if (tstamp[v] != ep) {
+            tstamp[v] = ep;
+            tot[v] = 0;
+          }
+          tot[v]++;
         }
       }
     }
@@ -609,7 +664,7 @@ void st_pack_fill(void* h, int32_t* slots, int32_t* rel, int32_t* inv,
       for (size_t j = 0; j < ln.size(); j++) {
         int m = 1;
         for (int r = 0; r < arity; r++) {
-          int c = totals[sp->cons[ln[j] * arity + r]];
+          int c = tot[sp->cons[ln[j] * arity + r]];
           if (c > m) m = c;
         }
         scale[((int64_t)b * 8 + g) * LANES + j] = 1.0f / (float)m;

@@ -760,7 +760,17 @@ def order_vertices(vertices: np.ndarray, edges: np.ndarray,
             if cons is None or len(cons) == 0:
                 continue
             w = inv[np.asarray(cons, np.int64)] // LANES
-            so = np.lexsort(tuple(w[:, r] for r in reversed(range(w.shape[1]))))
+            # single packed-key argsort == the lexsort (windows < 2^15 up
+            # to ~4M particles; fall back to lexsort beyond) -- the sort
+            # dominated auto-order time at megascale
+            if w.max(initial=0) < (1 << 15) and w.shape[1] <= 4:
+                key = np.zeros(len(w), np.uint64)
+                for r in range(w.shape[1]):
+                    key = (key << np.uint64(15)) | w[:, r].astype(np.uint64)
+                so = np.argsort(key, kind="stable")
+            else:
+                so = np.lexsort(
+                    tuple(w[:, r] for r in reversed(range(w.shape[1]))))
             w = w[so]
             nb = -(-len(w) // LANES)
             pad = nb * LANES - len(w)

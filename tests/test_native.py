@@ -122,18 +122,32 @@ def test_native_super_packer_matches_python():
         import pytest
         pytest.skip("native lib unavailable")
 
-    topo = meshes.tet_ball(2)
-    for cons, rest, lcap in ((topo.edges, topo.edge_rest, 2),
-                             (topo.tets, topo.tet_rest_vol, 3)):
-        a = sw.pack_superblocks(cons.astype(np.int64), rest,
-                                -(-topo.num_particles // 128),
-                                layer_cap=lcap, use_native=True)
-        b = sw.pack_superblocks(cons.astype(np.int64), rest,
-                                -(-topo.num_particles // 128),
-                                layer_cap=lcap, use_native=False)
-        for f in ("slots", "rel", "inv", "rest", "perm", "pos_of", "scale"):
-            assert np.array_equal(getattr(a, f), getattr(b, f)), f
-        assert (a.num_super, a.dmax) == (b.num_super, b.dmax)
+    from softbodysim_tpu.core.adjacency import combine_topologies
+
+    ball = meshes.tet_ball(2)
+    merged, _ = combine_topologies(
+        [meshes.tet_ball(1, 0.2, (0.0, 0.5, 0.0)),
+         meshes.tet_cube(5, 5, 5, center=(1.0, 0.5, 0.0))])
+    for topo in (ball, merged):
+        for cons, rest, lcap in ((topo.edges, topo.edge_rest, 2),
+                                 (topo.tets, topo.tet_rest_vol, 3)):
+            for order_mode in (0, 1):
+                for scap in (8, 12):
+                    a = sw.pack_superblocks(
+                        cons.astype(np.int64), rest,
+                        -(-topo.num_particles // 128), slots_cap=scap,
+                        layer_cap=lcap, use_native=True,
+                        order_mode=order_mode)
+                    b = sw.pack_superblocks(
+                        cons.astype(np.int64), rest,
+                        -(-topo.num_particles // 128), slots_cap=scap,
+                        layer_cap=lcap, use_native=False,
+                        order_mode=order_mode)
+                    for f in ("slots", "rel", "inv", "rest", "perm",
+                              "pos_of", "scale"):
+                        assert np.array_equal(getattr(a, f),
+                                              getattr(b, f)), f
+                    assert (a.num_super, a.dmax) == (b.num_super, b.dmax)
 
 
 @needs_native
