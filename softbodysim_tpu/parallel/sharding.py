@@ -1277,6 +1277,13 @@ def make_sharded_step(topology: Topology, params: SolverParams, mesh: Mesh,
     big = (topology.num_edges + topology.num_tets) >= 100_000
     on_tpu = jax.default_backend() == "tpu"
 
+    if params.chebyshev:
+        # the sharded iteration loops have no blend carry yet; failing loud
+        # beats silently dropping the acceleration the caller asked for
+        raise ValueError("chebyshev acceleration is not supported on "
+                         "sharded backends yet -- use a single-device "
+                         "Engine (jacobi_backend='pallas' or 'gather')")
+
     if params.dialect == "xpbd":
         backend = params.xpbd_backend
         if backend == "auto":

@@ -226,7 +226,7 @@ def make_jacobi_step(topology, params: SolverParams,
     # (kernels/jacobi.py) win ~10x on the plain world-space path.
     # Thresholds measured on TPU v5e.
     backend = params.jacobi_backend
-    pallas_ok = local_to_world is None and not params.chebyshev
+    pallas_ok = local_to_world is None
     if backend == "auto":
         # measured on v5e (fused 20-step programs): gather beats segment at
         # every scale tried -- 1.27x at V=1331, 1.26x at V=4096, 1.12x at
@@ -241,8 +241,7 @@ def make_jacobi_step(topology, params: SolverParams,
         if not pallas_ok:
             raise ValueError(
                 "jacobi_backend='pallas' does not support local-space "
-                "transforms or chebyshev "
-                "-- use 'gather' (or 'auto', which falls back)")
+                "transforms -- use 'gather' (or 'auto', which falls back)")
         from .jacobi_pallas import make_jacobi_pallas_step
         return make_jacobi_pallas_step(topology, params, colliders,
                                        edge_k=edge_k, tet_k=tet_k)

@@ -231,8 +231,31 @@ def make_jacobi_pallas_step(topology, params: SolverParams,
                     jnp.where(x8[3] != 0.0, p.T, x8[0:3]))
             return x8, None
 
-        x8, _ = jax.lax.scan(iteration, x8, None,
-                             length=params.iterations)
+        if not params.chebyshev:
+            x8, _ = jax.lax.scan(iteration, x8, None,
+                                 length=params.iterations)
+        else:
+            # Chebyshev semi-iterative acceleration -- the same omega_k
+            # recurrence as the XLA jacobi path (solver/jacobi.py), blended
+            # on the position rows of the x8 table between pass kernels.
+            # Pinned and dead lanes are untouched: their jacobi update is
+            # the identity, so the blend collapses to the carried value.
+            rho2 = jnp.float32(float(params.chebyshev_rho) ** 2)
+
+            def cheby_body(carry_it, it_idx):
+                x8c, x_prev, om_prev = carry_it
+                x8j, _ = iteration(x8c, None)
+                om = jnp.where(
+                    it_idx < params.chebyshev_delay, 1.0,
+                    jnp.where(it_idx == params.chebyshev_delay,
+                              2.0 / (2.0 - rho2),
+                              4.0 / (4.0 - rho2 * om_prev)))
+                x_next = om * (x8j[0:3] - x_prev) + x_prev
+                return (x8j.at[0:3].set(x_next), x8c[0:3], om), None
+
+            (x8, _, _), _ = jax.lax.scan(
+                cheby_body, (x8, x8[0:3], jnp.float32(1.0)),
+                jnp.arange(params.iterations))
 
         # PostSolve (SoftBodySolver.cs:364-377)
         inv_dt = jnp.where(sdt > 0.0, 1.0 / sdt, 0.0)
