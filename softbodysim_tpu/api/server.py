@@ -114,6 +114,10 @@ class PBDServer:
         self._running = True
         try:
             self._comm_loop(client, self._new_session())
+        except OSError as e:
+            # socket torn down under the loop (stop() during a read, client
+            # vanished): end the session, don't crash the serve thread
+            self._log(f"session ended by socket error: {e}")
         finally:
             client.close()
             self._sock.close()
@@ -150,6 +154,8 @@ class PBDServer:
             def run(client=client, ses=ses):
                 try:
                     self._comm_loop(client, ses)
+                except OSError as e:
+                    self._log(f"client {ses.sid} socket error: {e}")
                 finally:
                     client.close()
                     with self._clients_lock:
@@ -187,6 +193,11 @@ class PBDServer:
                 c.close()
             except OSError:
                 pass
+        # join the background serve thread so no session thread is still
+        # inside a recv when the caller proceeds to tear down state
+        th = self._thread
+        if th is not None and th is not threading.current_thread():
+            th.join(timeout=10.0)
 
     def _new_session(self) -> _Session:
         ses = _Session(self._nsid)

@@ -1277,12 +1277,16 @@ def make_sharded_step(topology: Topology, params: SolverParams, mesh: Mesh,
     big = (topology.num_edges + topology.num_tets) >= 100_000
     on_tpu = jax.default_backend() == "tpu"
 
-    if params.chebyshev:
-        # the sharded iteration loops have no blend carry yet; failing loud
-        # beats silently dropping the acceleration the caller asked for
+    # chebyshev is a jacobi-dialect knob: xpbd ignores it on every backend
+    # (matching the single-device behavior, where solver/xpbd.py never
+    # reads the flag), so only the jacobi sharded loops must honor it.
+    if params.chebyshev and params.dialect == "jacobi":
+        # the jacobi sharded iteration loops have no blend carry yet;
+        # failing loud beats silently dropping the acceleration
         raise ValueError("chebyshev acceleration is not supported on "
-                         "sharded backends yet -- use a single-device "
-                         "Engine (jacobi_backend='pallas' or 'gather')")
+                         "sharded jacobi backends yet -- use a "
+                         "single-device Engine (jacobi_backend='pallas' "
+                         "or 'gather')")
 
     if params.dialect == "xpbd":
         backend = params.xpbd_backend

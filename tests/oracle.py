@@ -145,18 +145,28 @@ class XpbdOracle:
     # corrections sum (Jacobi); blocks run sequentially (Gauss-Seidel).
     # Replays kernels/sweep.py exactly.
 
-    def step_blocks(self, dt, edge_blocks=None, tet_blocks=None):
+    def step_blocks(self, dt, edge_blocks=None, tet_blocks=None,
+                    scheme="scale", omega=1.0):
+        """scheme='scale': dlam *= per-lane scale (1/max within-block
+        multiplicity, the round-2/3 kernels).  scheme='split': mass
+        splitting -- the dlam denominator uses within-block per-vertex
+        multiplicity-inflated inverse masses (sum c_i w_i |g_i|^2 + alpha)
+        and the apply uses plain w (the per-copy c factors cancel when the
+        equal-mass copies are averaged).  omega over-relaxes dlam."""
         # each block is an id array or an (ids, dlambda_scale) pair
         p = self.params
         ss = max(1, p.substeps)
         sdt = F(dt) / F(ss)
+        omega = F(omega)
         for _ in range(ss):
             self._predict(sdt)
             for _ in range(p.iterations):
                 for blk in (edge_blocks or []):
-                    self._solve_edges_block(sdt, *self._blk(blk))
+                    self._solve_edges_block(sdt, *self._blk(blk),
+                                            scheme=scheme, omega=omega)
                 for blk in (tet_blocks or []):
-                    self._solve_tets_block(sdt, *self._blk(blk))
+                    self._solve_tets_block(sdt, *self._blk(blk),
+                                           scheme=scheme, omega=omega)
                 self._ground()
             self._commit(sdt)
 
@@ -164,7 +174,25 @@ class XpbdOracle:
     def _blk(blk):
         return blk if isinstance(blk, tuple) else (blk, None)
 
-    def _solve_edges_block(self, sdt, ids, scale=None):
+    def _block_counts(self, ids, cons):
+        """Within-block multiplicity of each constraint-role vertex: counts
+        over the flattened role-vertex list of this block (cached)."""
+        key = (id(cons), ids.tobytes())
+        cache = getattr(self, "_cnt_cache", None)
+        if cache is None:
+            cache = self._cnt_cache = {}
+        out = cache.get(key)
+        if out is None:
+            verts = cons[ids]                       # (B, arity)
+            uniq, inv = np.unique(verts.ravel(), return_inverse=True)
+            inv = inv.ravel()
+            cnt = np.bincount(inv, minlength=len(uniq))
+            out = cnt[inv].reshape(verts.shape).astype(F)
+            cache[key] = out
+        return out
+
+    def _solve_edges_block(self, sdt, ids, scale=None, scheme="scale",
+                           omega=F(1.0)):
         inv_dt2 = F(1.0) / (sdt * sdt) if sdt > 1e-12 else F(0.0)
         alpha = F(max(0.0, self.params.edge_compliance)) * inv_dt2
         i0 = self.edges[ids, 0]
@@ -177,18 +205,25 @@ class XpbdOracle:
         valid = (wsum != 0.0) & (length >= 1e-12)
         c = length - self.edge_rest[ids]
         lam = self.edge_lambda[ids]
-        denom = wsum + alpha
+        if scheme == "split":
+            cnt = self._block_counts(ids, self.edges)
+            denom = (cnt[:, 0] * w0 + cnt[:, 1] * w1).astype(F) + alpha
+        else:
+            denom = wsum + alpha
         dlam = np.where(valid, (-c - alpha * lam)
                         / np.where(denom == 0.0, F(1.0), denom), F(0.0))
-        if scale is not None:
+        if scheme != "split" and scale is not None:
             dlam = (dlam * scale).astype(F)
+        if omega != 1.0:
+            dlam = (dlam * omega).astype(F)
         n = d / np.where(length < 1e-12, F(1.0), length)[:, None]
         corr = n * dlam[:, None]
         self.edge_lambda[ids] = lam + dlam
         np.add.at(self.x_star, i0, corr * w0[:, None])
         np.add.at(self.x_star, i1, -corr * w1[:, None])
 
-    def _solve_tets_block(self, sdt, ids, scale=None):
+    def _solve_tets_block(self, sdt, ids, scale=None, scheme="scale",
+                          omega=F(1.0)):
         inv_dt2 = F(1.0) / (sdt * sdt) if sdt > 1e-12 else F(0.0)
         alpha = F(max(0.0, self.params.volume_compliance)) * inv_dt2
         a, b, c_, d_ = (self.tets[ids, r] for r in range(4))
@@ -205,11 +240,20 @@ class XpbdOracle:
         vol = (np.cross(pb - pa, pc - pa) * (pd - pa)).sum(-1) * sixth
         cfn = vol.astype(F) - self.tet_rest[ids]
         lam = self.tet_lambda[ids]
-        denom = wsum + alpha
+        if scheme == "split":
+            cnt = self._block_counts(ids, self.tets)
+            denom = (cnt[:, 0] * wa * (ga * ga).sum(-1)
+                     + cnt[:, 1] * wb * (gb * gb).sum(-1)
+                     + cnt[:, 2] * wc * (gc * gc).sum(-1)
+                     + cnt[:, 3] * wd * (gd * gd).sum(-1)).astype(F) + alpha
+        else:
+            denom = wsum + alpha
         dlam = np.where(valid, (-cfn - alpha * lam)
                         / np.where(denom == 0.0, F(1.0), denom), F(0.0))
-        if scale is not None:
+        if scheme != "split" and scale is not None:
             dlam = (dlam * scale).astype(F)
+        if omega != 1.0:
+            dlam = (dlam * omega).astype(F)
         self.tet_lambda[ids] = lam + dlam
         np.add.at(self.x_star, a, ga * (wa * dlam)[:, None])
         np.add.at(self.x_star, b, gb * (wb * dlam)[:, None])

@@ -115,13 +115,16 @@ def test_step_n_equals_repeated_step():
 
 
 def test_pallas_rejects_unsupported_features():
+    import numpy as np
     import pytest
 
     topo = meshes.tet_cube(2, 2, 2)
     from softbodysim_tpu.solver import make_step
 
+    # local-space transforms are still gather-only on the pallas backend
     with pytest.raises(ValueError):
-        make_step(topo, _params(chebyshev=True))
+        make_step(topo, _params(), local_to_world=np.eye(4),
+                  world_to_local=np.eye(4))
 
 
 def test_merged_scene_matches_separate_bodies():
