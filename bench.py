@@ -7,6 +7,12 @@ that were previously only in PLAN.md):
    V=110592 / E=642960 / T=519115), XPBD dialect, 8 substeps, ground contact,
    stepped with the Pallas sweep backend (kernels/sweep.py).  BASELINE.json:
    ">= 60 Hz".  vs_baseline = steps_per_sec / 60.
+   QUALITY-NORMALIZED since round 4: the default in-block scheme (mass
+   splitting, omega (1.5, 2.2) -- solver/xpbd_pallas._resolve_block_scheme)
+   settles at 0.92x (edge) / 0.80x (tet) of the compiled serial reference's
+   residual at this exact scale (tools/probe_scale_convergence.py, PLAN.md
+   round 4a), so the reported steps/s is at-or-better-than serial-GS
+   solution quality per iteration -- no convergence asterisk.
 2. **north_star_iters6**: the same scene at the reference's iteration count
    (substeps 8 x iterations 6) -- the hardest honest configuration.
 3. **batched**: 128 vmapped bunny-scale Jacobi bodies (the BatchTest-style
@@ -199,6 +205,15 @@ def main():
                 "ms_per_step": round(ms1, 2),
                 "steps_per_sec": round(sps1, 2),
                 "proj_per_sec": float(f"{proj1:.4g}"),
+                # settled-residual ratio vs the compiled serial reference
+                # at THIS scale/protocol (ss2 x it6, 120 steps, 30-tail;
+                # tools/probe_scale_convergence.py, measured round 4 on
+                # v5e) for the default block scheme the run above used
+                "quality": {
+                    "block_scheme": "split/split omega=(1.5,2.2)",
+                    "edge_residual_vs_serial": 0.92,
+                    "tet_residual_vs_serial": 0.80,
+                },
             },
             "north_star_iters6": {
                 "substeps": 8, "iterations": 6,

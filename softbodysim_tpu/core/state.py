@@ -137,6 +137,28 @@ class SolverParams:
     # block-synchronous rather than colored-GS).  "auto" == gather.
     xpbd_backend: str = "auto"
 
+    # Block-synchronous sweep scheme (xpbd_backend="pallas" only): how the
+    # within-block Jacobi solve is stabilized.  "scale": legacy 1/max-
+    # multiplicity dlambda damping (round-2/3 kernels).  "split": mass
+    # splitting -- the dlambda denominator inflates each inverse mass by
+    # its within-block multiplicity (sum c_i w_i |g_i|^2 + alpha) and the
+    # apply uses plain w; strictly less damped than "scale" (weighted-mean
+    # multiplicity <= max) while still overshoot-free.  "auto" resolves to
+    # the tuned split defaults (omega (1.5, 2.2) -- settled residual
+    # 0.92x/0.80x of serial GS at north-star scale at identical steps/s,
+    # PLAN.md round 4a) on single-device steps, "scale" on the
+    # window-sharded path.  Scalar, or an (edge, tet) pair.
+    xpbd_block_scheme: Any = "auto"
+    # dlambda over-relaxation on the block path (1.0 = off); applied on
+    # top of either scheme.  Scalar, or an (edge, tet) pair.
+    xpbd_block_omega: Any = 1.0
+    # within-block re-iterations per block visit (block data is VMEM-
+    # resident, so revisits cost only gathers + VPU compute, no
+    # streaming).  Scalar, or an (edge, tet) pair -- at scale the edge
+    # family converges serial-class without revisits (PLAN.md round 3d),
+    # so the tuned defaults revisit only tets.
+    xpbd_block_local_iters: Any = 1
+
     # Chebyshev semi-iterative acceleration for the jacobi dialect (Wang
     # 2015): accelerates constraint convergence dramatically on large
     # grids (e.g. 64x64 cloth) where plain Jacobi propagates ~1 cell per

@@ -371,7 +371,7 @@ def _make_jacobi_pass_grouped(plan: SuperPlan, num_windows: int, *,
             functools.partial(_w_fill_kernel, S=Sg, GB=gb, ROLES=a),
             grid=(nstep,),
             in_specs=[
-                slots_spec, rel_spec,
+                slots_spec, rel_spec, rel_spec,
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
             out_specs=w_spec,
@@ -391,9 +391,13 @@ def _make_jacobi_pass_grouped(plan: SuperPlan, num_windows: int, *,
         b0 = b1
 
     def fill_w(x8, tables):
-        """Append the streamed inverse-mass tables (once per program)."""
-        return tuple(tabs[:5] + (fc(tabs[0], tabs[1], x8),)
-                     for fc, tabs in zip(fills, tables))
+        """Append the streamed inverse-mass tables (once per program).
+        The fill kernel's count input (mass splitting, xpbd only) is fed
+        in-jit ones here: the jacobi dialect always streams plain w."""
+        return tuple(
+            tabs[:5] + (fc(tabs[0], tabs[1],
+                           jnp.ones(tabs[1].shape, jnp.float32), x8),)
+            for fc, tabs in zip(fills, tables))
 
     def jacobi_pass(x8, k, omega, tables):
         scal = jnp.stack([jnp.asarray(k, jnp.float32),

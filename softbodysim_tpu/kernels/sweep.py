@@ -1005,6 +1005,41 @@ def _slot_sort(plan: "SuperPlan") -> "SuperPlan":
 # disappear statically (another ~3-4%).
 # --------------------------------------------------------------------------
 
+def block_counts(plan) -> np.ndarray:
+    """Within-super-block per-role vertex multiplicity, rel-layout.
+
+    Returns (num_super * arity * 8, LANES) f32: for each constraint lane,
+    how many constraints of ITS 1024-wide super-block touch the vertex it
+    references through that role.  Derived from the plan arrays (slots +
+    rel + perm), so cached plans need no repack and PACK_VERSION is
+    untouched.  Pad lanes get 1.0.
+
+    This is the mass-splitting table: with inverse masses inflated to
+    c_i * w_i in the dlambda denominator (and the apply using plain w),
+    the within-block Jacobi solve is the equal-mass-copy split scheme --
+    provably overshoot-free without the 1/max dlambda damping.
+    """
+    a, nb = plan.arity, plan.num_super
+    rel = plan.rel.reshape(nb, a, 8, LANES)
+    t = rel >> 7
+    lane = rel & (LANES - 1)
+    # global vertex id per (b, role, g, lane)
+    win = np.take_along_axis(
+        np.broadcast_to(plan.slots[:, None, None, :],
+                        (nb, a, 8, plan.slots.shape[1])), t, axis=3)
+    v = win.astype(np.int64) * LANES + lane
+    live = np.broadcast_to(
+        (plan.perm.reshape(nb, 8, LANES) >= 0)[:, None, :, :], v.shape)
+    nv = int(v.max()) + 1 if v.size else 1
+    key = (np.arange(nb, dtype=np.int64)[:, None, None, None] * nv
+           + v)[live]
+    uniq, inv = np.unique(key, return_inverse=True)
+    cnt_u = np.bincount(inv.ravel(), minlength=len(uniq))
+    out = np.ones((nb, a, 8, LANES), np.float32)
+    out[live] = cnt_u[inv.ravel()].astype(np.float32)
+    return out.reshape(nb * a * 8, LANES)
+
+
 def _gather_super(xout_ref, wins, rel, S):
     """rel (8,128) -> ((8,128) x 4): x,y,z,invmass tiles for one role.
 
@@ -1065,10 +1100,17 @@ def _gather_w(xref, wins, rel, S):
     return aw
 
 
-def _w_fill_kernel(slots_ref, rel_ref, xin_ref, wout_ref, *, S, GB, ROLES):
+def _w_fill_kernel(slots_ref, rel_ref, cnt_ref, xin_ref, wout_ref, *,
+                   S, GB, ROLES):
     """One-time prologue: gather per-constraint inverse masses from the
     particle table into streamable tables.  Edges (ROLES=2) store the wsum
     row per sub-block; tets (ROLES=4) store one row-block per role.
+
+    cnt_ref is the per-role within-block multiplicity table
+    (block_counts): each gathered w is multiplied by its count, so with
+    the mass-splitting scheme the streamed tables hold the split inverse
+    masses c_i * w_i; the legacy scale scheme passes all-ones counts and
+    the tables hold plain w (bit-identical: x * 1.0 is exact).
 
     Pad lanes gather garbage (rel=0 -> window 0 lane 0) exactly like the
     old in-sweep gathers did; they stay inert in the sweeps through the
@@ -1081,15 +1123,14 @@ def _w_fill_kernel(slots_ref, rel_ref, xin_ref, wout_ref, *, S, GB, ROLES):
             w1 = _gather_w(xin_ref, wins,
                            rel_ref[(sb * 2 + 1) * 8:(sb * 2 + 1) * 8 + 8, :],
                            S)
-            wout_ref[sb * 8:sb * 8 + 8, :] = w0 + w1
+            c0 = cnt_ref[(sb * 2) * 8:(sb * 2) * 8 + 8, :]
+            c1 = cnt_ref[(sb * 2 + 1) * 8:(sb * 2 + 1) * 8 + 8, :]
+            wout_ref[sb * 8:sb * 8 + 8, :] = w0 * c0 + w1 * c1
         else:
             for r in range(ROLES):
-                wr = _gather_w(
-                    xin_ref, wins,
-                    rel_ref[(sb * ROLES + r) * 8:(sb * ROLES + r) * 8 + 8, :],
-                    S)
                 row = (sb * ROLES + r) * 8
-                wout_ref[row:row + 8, :] = wr
+                wr = _gather_w(xin_ref, wins, rel_ref[row:row + 8, :], S)
+                wout_ref[row:row + 8, :] = wr * cnt_ref[row:row + 8, :]
 
 
 def _scatter_super(xout_ref, w, accx, accy, accz):
@@ -1105,7 +1146,7 @@ def _scatter_super(xout_ref, w, accx, accy, accz):
 
 def _edge_kernel_super(alpha_ref, slots_ref, rel_ref, inv_ref, rest_ref,
                        scale_ref, a_ref, w_ref, lam_ref, xin_ref, xout_ref,
-                       lamout_ref, *, S, PROF, GB, PERA):
+                       lamout_ref, *, S, PROF, GB, PERA, K=1):
     s = pl.program_id(0)
 
     @pl.when(s == 0)
@@ -1121,65 +1162,80 @@ def _edge_kernel_super(alpha_ref, slots_ref, rel_ref, inv_ref, rest_ref,
         wins = [slots_ref[sb, t] for t in range(S)]
         r0 = rel_ref[(sb * 2) * 8:(sb * 2) * 8 + 8, :]
         r1 = rel_ref[(sb * 2 + 1) * 8:(sb * 2 + 1) * 8 + 8, :]
-        a0x, a0y, a0z = _gather_xyz(xout_ref, wins, r0, S)
-        a1x, a1y, a1z = _gather_xyz(xout_ref, wins, r1, S)
-
-        dx = a0x - a1x
-        dy = a0y - a1y
-        dz = a0z - a1z
-        length = jnp.sqrt(dx * dx + dy * dy + dz * dz)
-        # v7: wsum streamed (the w-fill prologue), not gathered per sweep
-        wsum = w_ref[sb * 8:sb * 8 + 8, :]
-        valid = (wsum != 0.0) & (length >= 1e-12)
-        c = length - rest_ref[sb * 8:sb * 8 + 8, :]
+        # K: local block re-iterations (mass-splitting scheme) -- the block
+        # data is already VMEM-resident, so revisits re-run only gathers +
+        # VPU compute; lambda accumulates across revisits.
         lam = lam_ref[sb * 8:sb * 8 + 8, :]
-        # PERA: per-constraint compliance tile; alpha scalar is then 1/dt^2
-        al = alpha * a_ref[sb * 8:sb * 8 + 8, :] if PERA else alpha
-        denom = wsum + al
-        dlam = jnp.where(valid, (-c - al * lam)
-                         / jnp.where(denom == 0.0, 1.0, denom), 0.0)
-        dlam = dlam * scale_ref[sb * 8:sb * 8 + 8, :]
-        lamout_ref[sb * 8:sb * 8 + 8, :] = lam + dlam
-        # same association as the classic kernel / oracle: (d/len)*dlam*w
-        inv_len = 1.0 / jnp.where(length < 1e-12, 1.0, length)
-        nx, ny, nz = dx * inv_len, dy * inv_len, dz * inv_len
-        cx, cy, cz = nx * dlam, ny * dlam, nz * dlam
+        for _rep in range(K):
+            a0x, a0y, a0z = _gather_xyz(xout_ref, wins, r0, S)
+            a1x, a1y, a1z = _gather_xyz(xout_ref, wins, r1, S)
 
-        # No pl.when on the slot loop: a conditional branch costs ~50 ns on
-        # this chip (measured, PLAN.md round-2 grid) -- more than the masked
-        # tile work it would skip.  Unused slots RMW +0 into a real window.
-        #
-        # v6 scatter (round 3): ONE correction source per component (n*dlam)
-        # plus a signed target-side weight factor -- the scattered vertex's
-        # own inverse mass lives at the TARGET lane (sublane 3 of the window
-        # being written), so corr*w needs no per-role source tiles and no
-        # role demux: factor = (+-1 presence) * w_target.  Exactly the old
-        # arithmetic bit-for-bit (the +-1 and w multiplies are exact).
-        #
-        # v7 ragged layers: PROF[t] is slot position t's static layer count
-        # for this kernel group (slots pre-sorted by occupancy, _slot_sort);
-        # all-empty tiles are skipped at trace time.  The skipped tiles
-        # contributed exact +0.0 (sf=0), but the shorter op sequence lets
-        # XLA associate the surviving sums differently -- expect ULP-level
-        # deviation from the dense kernel, with an exact contribution
-        # mapping (tests/test_sweep_groups.py, test_jacobi_groups.py).
-        for t in range(S):
-            if PROF[t] == 0:
-                continue
-            w8 = jnp.broadcast_to(
-                xout_ref[3:4, pl.ds(wins[t] * LANES, LANES)], (8, LANES))
-            accx = accy = accz = jnp.zeros((8, LANES), jnp.float32)
-            for l in range(PROF[t]):
-                row = (sb * sumd + off[t] + l) * 8
-                inv = inv_ref[row:row + 8, :]
-                jl = inv & (LANES - 1)           # -1 -> 127, masked by sf=0
-                sf = jnp.where(inv >= 0,
-                               jnp.where(inv >= LANES, -1.0, 1.0), 0.0)
-                factor = sf * w8
-                accx = accx + jnp.take_along_axis(cx, jl, axis=1) * factor
-                accy = accy + jnp.take_along_axis(cy, jl, axis=1) * factor
-                accz = accz + jnp.take_along_axis(cz, jl, axis=1) * factor
-            _scatter_super(xout_ref, wins[t], accx, accy, accz)
+            dx = a0x - a1x
+            dy = a0y - a1y
+            dz = a0z - a1z
+            length = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+            # v7: wsum streamed (the w-fill prologue), not gathered per
+            # sweep; under the split scheme this is the multiplicity-
+            # inflated sum c0*w0 + c1*w1 (mass splitting)
+            wsum = w_ref[sb * 8:sb * 8 + 8, :]
+            valid = (wsum != 0.0) & (length >= 1e-12)
+            c = length - rest_ref[sb * 8:sb * 8 + 8, :]
+            # PERA: per-constraint compliance tile; alpha scalar is 1/dt^2
+            al = alpha * a_ref[sb * 8:sb * 8 + 8, :] if PERA else alpha
+            denom = wsum + al
+            dlam = jnp.where(valid, (-c - al * lam)
+                             / jnp.where(denom == 0.0, 1.0, denom), 0.0)
+            dlam = dlam * scale_ref[sb * 8:sb * 8 + 8, :]
+            lam = lam + dlam
+            # same association as the classic kernel / oracle:
+            # (d/len)*dlam*w
+            inv_len = 1.0 / jnp.where(length < 1e-12, 1.0, length)
+            nx, ny, nz = dx * inv_len, dy * inv_len, dz * inv_len
+            cx, cy, cz = nx * dlam, ny * dlam, nz * dlam
+
+            # No pl.when on the slot loop: a conditional branch costs
+            # ~50 ns on this chip (measured, PLAN.md round-2 grid) -- more
+            # than the masked tile work it would skip.  Unused slots RMW +0
+            # into a real window.
+            #
+            # v6 scatter (round 3): ONE correction source per component
+            # (n*dlam) plus a signed target-side weight factor -- the
+            # scattered vertex's own inverse mass lives at the TARGET lane
+            # (sublane 3 of the window being written), so corr*w needs no
+            # per-role source tiles and no role demux: factor = (+-1
+            # presence) * w_target.  Exactly the old arithmetic
+            # bit-for-bit (the +-1 and w multiplies are exact).
+            #
+            # v7 ragged layers: PROF[t] is slot position t's static layer
+            # count for this kernel group (slots pre-sorted by occupancy,
+            # _slot_sort); all-empty tiles are skipped at trace time.  The
+            # skipped tiles contributed exact +0.0 (sf=0), but the shorter
+            # op sequence lets XLA associate the surviving sums differently
+            # -- expect ULP-level deviation from the dense kernel, with an
+            # exact contribution mapping (tests/test_sweep_groups.py,
+            # test_jacobi_groups.py).
+            for t in range(S):
+                if PROF[t] == 0:
+                    continue
+                w8 = jnp.broadcast_to(
+                    xout_ref[3:4, pl.ds(wins[t] * LANES, LANES)],
+                    (8, LANES))
+                accx = accy = accz = jnp.zeros((8, LANES), jnp.float32)
+                for l in range(PROF[t]):
+                    row = (sb * sumd + off[t] + l) * 8
+                    inv = inv_ref[row:row + 8, :]
+                    jl = inv & (LANES - 1)       # -1 -> 127, masked by sf=0
+                    sf = jnp.where(inv >= 0,
+                                   jnp.where(inv >= LANES, -1.0, 1.0), 0.0)
+                    factor = sf * w8
+                    accx = (accx
+                            + jnp.take_along_axis(cx, jl, axis=1) * factor)
+                    accy = (accy
+                            + jnp.take_along_axis(cy, jl, axis=1) * factor)
+                    accz = (accz
+                            + jnp.take_along_axis(cz, jl, axis=1) * factor)
+                _scatter_super(xout_ref, wins[t], accx, accy, accz)
+        lamout_ref[sb * 8:sb * 8 + 8, :] = lam
 
 
 def _cross_c(ax, ay, az, bx, by, bz):
@@ -1188,7 +1244,7 @@ def _cross_c(ax, ay, az, bx, by, bz):
 
 def _tet_kernel_super(alpha_ref, slots_ref, rel_ref, inv_ref, rest_ref,
                       scale_ref, a_ref, w_ref, lam_ref, xin_ref, xout_ref,
-                      lamout_ref, *, S, PROF, GB, PERA):
+                      lamout_ref, *, S, PROF, GB, PERA, MS=False, K=1):
     s = pl.program_id(0)
 
     @pl.when(s == 0)
@@ -1203,84 +1259,104 @@ def _tet_kernel_super(alpha_ref, slots_ref, rel_ref, inv_ref, rest_ref,
     sixth = jnp.float32(1.0 / 6.0)
     for sb in range(GB):
         wins = [slots_ref[sb, t] for t in range(S)]
-        acc = []
-        for r in range(4):
-            rel = rel_ref[(sb * 4 + r) * 8:(sb * 4 + r) * 8 + 8, :]
-            acc.append(_gather_xyz(xout_ref, wins, rel, S))
-        (pax, pay, paz), (pbx, pby, pbz), \
-            (pcx, pcy, pcz), (pdx, pdy, pdz) = acc
-        # v7: per-role inverse masses streamed (w-fill prologue)
-        wa = w_ref[(sb * 4 + 0) * 8:(sb * 4 + 0) * 8 + 8, :]
-        wb = w_ref[(sb * 4 + 1) * 8:(sb * 4 + 1) * 8 + 8, :]
-        wc = w_ref[(sb * 4 + 2) * 8:(sb * 4 + 2) * 8 + 8, :]
-        wd = w_ref[(sb * 4 + 3) * 8:(sb * 4 + 3) * 8 + 8, :]
-
-        # gradients (Sim.cpp:132-173), per component
-        gax, gay, gaz = _cross_c(pdx - pbx, pdy - pby, pdz - pbz,
-                                 pcx - pbx, pcy - pby, pcz - pbz)
-        gbx, gby, gbz = _cross_c(pcx - pax, pcy - pay, pcz - paz,
-                                 pdx - pax, pdy - pay, pdz - paz)
-        gcx, gcy, gcz = _cross_c(pdx - pax, pdy - pay, pdz - paz,
-                                 pbx - pax, pby - pay, pbz - paz)
-        gdx, gdy, gdz = _cross_c(pbx - pax, pby - pay, pbz - paz,
-                                 pcx - pax, pcy - pay, pcz - paz)
-        gax, gay, gaz = gax * sixth, gay * sixth, gaz * sixth
-        gbx, gby, gbz = gbx * sixth, gby * sixth, gbz * sixth
-        gcx, gcy, gcz = gcx * sixth, gcy * sixth, gcz * sixth
-        gdx, gdy, gdz = gdx * sixth, gdy * sixth, gdz * sixth
-
-        wsum = (wa * (gax * gax + gay * gay + gaz * gaz)
-                + wb * (gbx * gbx + gby * gby + gbz * gbz)
-                + wc * (gcx * gcx + gcy * gcy + gcz * gcz)
-                + wd * (gdx * gdx + gdy * gdy + gdz * gdz))
-        valid = ((wa + wb + wc + wd) != 0.0) & (wsum >= 1e-20)
-
-        # signed volume = cross(b-a, c-a) . (d-a) / 6 == gd . (d-a)
-        vol = (gdx * (pdx - pax) + gdy * (pdy - pay) + gdz * (pdz - paz))
-        cfn = vol - rest_ref[sb * 8:sb * 8 + 8, :]
         lam = lam_ref[sb * 8:sb * 8 + 8, :]
-        al = alpha * a_ref[sb * 8:sb * 8 + 8, :] if PERA else alpha
-        denom = wsum + al
-        dlam = jnp.where(valid, (-cfn - al * lam)
-                         / jnp.where(denom == 0.0, 1.0, denom), 0.0)
-        dlam = dlam * scale_ref[sb * 8:sb * 8 + 8, :]
-        lamout_ref[sb * 8:sb * 8 + 8, :] = lam + dlam
+        # K: local block re-iterations; see the edge kernel's note.
+        for _rep in range(K):
+            acc = []
+            for r in range(4):
+                rel = rel_ref[(sb * 4 + r) * 8:(sb * 4 + r) * 8 + 8, :]
+                acc.append(_gather_xyz(xout_ref, wins, rel, S))
+            (pax, pay, paz), (pbx, pby, pbz), \
+                (pcx, pcy, pcz), (pdx, pdy, pdz) = acc
+            # v7: per-role inverse masses streamed (w-fill prologue).
+            # MS (mass splitting): the streamed tables hold c_r * w_r --
+            # used for the wsum denominator only; the apply multiplies by
+            # the TARGET lane's plain w (sublane 3) in the scatter loop,
+            # exactly like the edge kernel's v6 scatter.
+            wa = w_ref[(sb * 4 + 0) * 8:(sb * 4 + 0) * 8 + 8, :]
+            wb = w_ref[(sb * 4 + 1) * 8:(sb * 4 + 1) * 8 + 8, :]
+            wc = w_ref[(sb * 4 + 2) * 8:(sb * 4 + 2) * 8 + 8, :]
+            wd = w_ref[(sb * 4 + 3) * 8:(sb * 4 + 3) * 8 + 8, :]
 
-        sa = wa * dlam
-        sb_ = wb * dlam
-        sc = wc * dlam
-        sd = wd * dlam
-        comps = (
-            (gax * sa, gbx * sb_, gcx * sc, gdx * sd),
-            (gay * sa, gby * sb_, gcy * sc, gdy * sd),
-            (gaz * sa, gbz * sb_, gcz * sc, gdz * sd),
-        )
+            # gradients (Sim.cpp:132-173), per component
+            gax, gay, gaz = _cross_c(pdx - pbx, pdy - pby, pdz - pbz,
+                                     pcx - pbx, pcy - pby, pcz - pbz)
+            gbx, gby, gbz = _cross_c(pcx - pax, pcy - pay, pcz - paz,
+                                     pdx - pax, pdy - pay, pdz - paz)
+            gcx, gcy, gcz = _cross_c(pdx - pax, pdy - pay, pdz - paz,
+                                     pbx - pax, pby - pay, pbz - paz)
+            gdx, gdy, gdz = _cross_c(pbx - pax, pby - pay, pbz - paz,
+                                     pcx - pax, pcy - pay, pcz - paz)
+            gax, gay, gaz = gax * sixth, gay * sixth, gaz * sixth
+            gbx, gby, gbz = gbx * sixth, gby * sixth, gbz * sixth
+            gcx, gcy, gcz = gcx * sixth, gcy * sixth, gcz * sixth
+            gdx, gdy, gdz = gdx * sixth, gdy * sixth, gdz * sixth
 
-        # branchless slot loop -- see the edge kernel's note.  Role bits are
-        # decoded straight off inv (no clip): -1 entries produce garbage
-        # lane/odd/hi but the has-mask kills them.
-        for t in range(S):
-            if PROF[t] == 0:
-                continue
-            accs = [jnp.zeros((8, LANES), jnp.float32) for _ in range(3)]
-            for l in range(PROF[t]):
-                row = (sb * sumd + off[t] + l) * 8
-                inv = inv_ref[row:row + 8, :]
-                has = inv >= 0
-                hi = inv >= 2 * LANES
-                odd = (inv & LANES) > 0
-                jl = inv & (LANES - 1)
-                for ci in range(3):
-                    ca, cb, cc, cd = comps[ci]
-                    g_ab = jnp.where(odd,
-                                     jnp.take_along_axis(cb, jl, axis=1),
-                                     jnp.take_along_axis(ca, jl, axis=1))
-                    g_cd = jnp.where(odd,
-                                     jnp.take_along_axis(cd, jl, axis=1),
-                                     jnp.take_along_axis(cc, jl, axis=1))
-                    pick = jnp.where(hi, g_cd, g_ab)
-                    accs[ci] = accs[ci] + jnp.where(has, pick, 0.0)
-            _scatter_super(xout_ref, wins[t], accs[0], accs[1], accs[2])
+            wsum = (wa * (gax * gax + gay * gay + gaz * gaz)
+                    + wb * (gbx * gbx + gby * gby + gbz * gbz)
+                    + wc * (gcx * gcx + gcy * gcy + gcz * gcz)
+                    + wd * (gdx * gdx + gdy * gdy + gdz * gdz))
+            valid = ((wa + wb + wc + wd) != 0.0) & (wsum >= 1e-20)
+
+            # signed volume = cross(b-a, c-a) . (d-a) / 6 == gd . (d-a)
+            vol = (gdx * (pdx - pax) + gdy * (pdy - pay)
+                   + gdz * (pdz - paz))
+            cfn = vol - rest_ref[sb * 8:sb * 8 + 8, :]
+            al = alpha * a_ref[sb * 8:sb * 8 + 8, :] if PERA else alpha
+            denom = wsum + al
+            dlam = jnp.where(valid, (-cfn - al * lam)
+                             / jnp.where(denom == 0.0, 1.0, denom), 0.0)
+            dlam = dlam * scale_ref[sb * 8:sb * 8 + 8, :]
+            lam = lam + dlam
+
+            if MS:
+                sa = sb_ = sc = sd = dlam
+            else:
+                sa = wa * dlam
+                sb_ = wb * dlam
+                sc = wc * dlam
+                sd = wd * dlam
+            comps = (
+                (gax * sa, gbx * sb_, gcx * sc, gdx * sd),
+                (gay * sa, gby * sb_, gcy * sc, gdy * sd),
+                (gaz * sa, gbz * sb_, gcz * sc, gdz * sd),
+            )
+
+            # branchless slot loop -- see the edge kernel's note.  Role
+            # bits are decoded straight off inv (no clip): -1 entries
+            # produce garbage lane/odd/hi but the has-mask kills them.
+            for t in range(S):
+                if PROF[t] == 0:
+                    continue
+                if MS:
+                    w8 = jnp.broadcast_to(
+                        xout_ref[3:4, pl.ds(wins[t] * LANES, LANES)],
+                        (8, LANES))
+                accs = [jnp.zeros((8, LANES), jnp.float32)
+                        for _ in range(3)]
+                for l in range(PROF[t]):
+                    row = (sb * sumd + off[t] + l) * 8
+                    inv = inv_ref[row:row + 8, :]
+                    has = inv >= 0
+                    hi = inv >= 2 * LANES
+                    odd = (inv & LANES) > 0
+                    jl = inv & (LANES - 1)
+                    for ci in range(3):
+                        ca, cb, cc, cd = comps[ci]
+                        g_ab = jnp.where(
+                            odd, jnp.take_along_axis(cb, jl, axis=1),
+                            jnp.take_along_axis(ca, jl, axis=1))
+                        g_cd = jnp.where(
+                            odd, jnp.take_along_axis(cd, jl, axis=1),
+                            jnp.take_along_axis(cc, jl, axis=1))
+                        pick = jnp.where(hi, g_cd, g_ab)
+                        add = jnp.where(has, pick, 0.0)
+                        if MS:
+                            add = add * w8
+                        accs[ci] = accs[ci] + add
+                _scatter_super(xout_ref, wins[t], accs[0], accs[1],
+                               accs[2])
+        lamout_ref[sb * 8:sb * 8 + 8, :] = lam
 
 
 # --------------------------------------------------------------------------
@@ -1289,7 +1365,9 @@ def _tet_kernel_super(alpha_ref, slots_ref, rel_ref, inv_ref, rest_ref,
 
 def _make_sweep_grouped(plan: SuperPlan, num_windows: int, *,
                         interpret: bool = False,
-                        per_constraint_alpha=None, ragged: bool = True):
+                        per_constraint_alpha=None, ragged: bool = True,
+                        scheme: str = "scale", omega: float = 1.0,
+                        local_iters: int = 1):
     """Grouped build: one trimmed pallas_call per execution group.
 
     Groups run sequentially in block order, threading x8 -- exactly the
@@ -1311,6 +1389,8 @@ def _make_sweep_grouped(plan: SuperPlan, num_windows: int, *,
     kernel per group and appends the streamed inverse-mass table (wsum for
     edges, per-role w for tets) to each group's static tuple.
     """
+    if scheme not in ("scale", "split"):
+        raise ValueError(f"unknown block scheme {scheme!r}")
     if ragged:
         plan = _slot_sort(plan)
     S, D, a = plan.nslots, plan.dmax, plan.arity
@@ -1324,6 +1404,20 @@ def _make_sweep_grouped(plan: SuperPlan, num_windows: int, *,
         if pera else None)
     inv5 = plan.inv.reshape(nb, S, D, 8, LANES)
     occ5 = inv5 >= 0
+    split = scheme == "split"
+    K = max(1, int(local_iters))
+    # split: the fill prologue's count table inflates the streamed inverse
+    # masses to c_i * w_i (mass splitting) and the per-lane dlambda scale
+    # becomes a flat over-relaxation omega; scale: legacy 1/max-multiplicity
+    # damping (counts of 1.0 keep the fill bit-identical), omega on top.
+    cnt_full = (block_counts(plan) if split
+                else np.ones_like(plan.rel, np.float32))
+    if split:
+        scale_full = np.full_like(plan.scale, np.float32(omega))
+    elif omega != 1.0:
+        scale_full = plan.scale * np.float32(omega)
+    else:
+        scale_full = plan.scale
 
     calls, fills, tabs_all = [], [], []
     b0 = 0
@@ -1362,8 +1456,11 @@ def _make_sweep_grouped(plan: SuperPlan, num_windows: int, *,
             atab = jnp.zeros((gb * 8, LANES), jnp.float32)
             a_spec = pl.BlockSpec((gb * 8, LANES), lambda s: (0, 0),
                                   memory_space=pltpu.VMEM)
+        kw = dict(S=Sg, PROF=prof, GB=gb, PERA=pera, K=K)
+        if a == 4:
+            kw["MS"] = split
         call = pl.pallas_call(
-            functools.partial(kernel, S=Sg, PROF=prof, GB=gb, PERA=pera),
+            functools.partial(kernel, **kw),
             grid=(nstep,),
             in_specs=[
                 pl.BlockSpec((1, 1), lambda s: (0, 0),
@@ -1386,7 +1483,7 @@ def _make_sweep_grouped(plan: SuperPlan, num_windows: int, *,
             functools.partial(_w_fill_kernel, S=Sg, GB=gb, ROLES=a),
             grid=(nstep,),
             in_specs=[
-                slots_spec, rel_spec,
+                slots_spec, rel_spec, rel_spec,
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
             out_specs=w_spec,
@@ -1401,21 +1498,22 @@ def _make_sweep_grouped(plan: SuperPlan, num_windows: int, *,
             jnp.asarray(plan.rel[b0 * a * 8:b1 * a * 8]),
             jnp.asarray(invr),
             jnp.asarray(plan.rest[b0 * 8:b1 * 8]),
-            jnp.asarray(plan.scale[b0 * 8:b1 * 8]),
+            jnp.asarray(scale_full[b0 * 8:b1 * 8]),
             atab,
+            jnp.asarray(cnt_full[b0 * a * 8:b1 * a * 8]),
         ))
         b0 = b1
 
     def fill_w(x8, tables):
         """Append the streamed inverse-mass tables (once per program)."""
-        return tuple(tabs[:6] + (fc(tabs[0], tabs[1], x8),)
+        return tuple(tabs[:7] + (fc(tabs[0], tabs[1], tabs[6], x8),)
                      for fc, tabs in zip(fills, tables))
 
     def sweep(x8, lam_stripes, alpha, tables):
         alpha2 = jnp.asarray(alpha, jnp.float32).reshape(1, 1)
         outs = []
         for call, tabs, lam_g in zip(calls, tables, lam_stripes):
-            slots, rel, inv, rest, scale, atab, wtab = tabs
+            slots, rel, inv, rest, scale, atab, _cnt, wtab = tabs
             x8, lam_o = call(alpha2, slots, rel, inv, rest, scale, atab,
                              wtab, lam_g, x8)
             outs.append(lam_o)
@@ -1425,6 +1523,9 @@ def _make_sweep_grouped(plan: SuperPlan, num_windows: int, *,
     sweep.fill_w = fill_w
     sweep.per_constraint = pera
     sweep.grouped = True
+    sweep.scheme = scheme
+    sweep.omega = float(omega)
+    sweep.local_iters = K
     return sweep
 
 
@@ -1447,7 +1548,8 @@ def join_lambda(plan, stripes):
 
 
 def make_sweep(plan, num_windows: int, *, interpret: bool = False,
-               per_constraint_alpha=None):
+               per_constraint_alpha=None, scheme: str = "scale",
+               omega: float = 1.0, local_iters: int = 1):
     """Build ``sweep(x8, lam_packed, alpha, tables) -> (x8, lam_packed)``.
 
     x8 is the (8, Vpad) particle table (rows 0-2 xyz, row 3 inverse mass);
@@ -1479,10 +1581,12 @@ def make_sweep(plan, num_windows: int, *, interpret: bool = False,
         if plan.groups:
             return _make_sweep_grouped(
                 plan, num_windows, interpret=interpret,
-                per_constraint_alpha=per_constraint_alpha)
+                per_constraint_alpha=per_constraint_alpha, scheme=scheme,
+                omega=omega, local_iters=local_iters)
         g = _make_sweep_grouped(
             plan, num_windows, interpret=interpret,
-            per_constraint_alpha=per_constraint_alpha, ragged=False)
+            per_constraint_alpha=per_constraint_alpha, ragged=False,
+            scheme=scheme, omega=omega, local_iters=local_iters)
 
         def sweep(x8, lam_packed, alpha, tables):
             x8, (lam_o,) = g(x8, (lam_packed,), alpha, (tables,))
@@ -1497,6 +1601,10 @@ def make_sweep(plan, num_windows: int, *, interpret: bool = False,
         sweep.grouped = False
         return sweep
 
+    if scheme != "scale" or omega != 1.0 or local_iters != 1:
+        raise ValueError("the legacy SweepPlan kernels support only the "
+                         "scale scheme (use superblocks=True for "
+                         "split/omega/local_iters)")
     S, DMAX = plan.nslots, plan.dmax
     vpad = num_windows * LANES
     nb = plan.num_blocks

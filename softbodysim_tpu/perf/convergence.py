@@ -138,8 +138,10 @@ def run_curves(topo, params, steps: int, dt: float = 1.0 / 60.0,
             mod = _oracle()
             oracle = mod.XpbdOracle(topo, params, pinned=pinned)
             eb, tb = block_plans(topo, params)
+            sch = block_scheme(params)
             for _ in range(steps):
-                oracle.step_blocks(dt, edge_blocks=eb, tet_blocks=tb)
+                oracle.step_blocks(dt, edge_blocks=eb, tet_blocks=tb,
+                                   **sch)
                 record(oracle.x, oracle.v, oracle.w)
         elif ordering == "serial_golden":
             gr = _load("softbodysim_golden_ref", "golden_ref.py")
@@ -167,6 +169,19 @@ def run_curves(topo, params, steps: int, dt: float = 1.0 / 60.0,
             "energy": np.asarray(energy),
         }
     return curves
+
+
+def block_scheme(params) -> dict:
+    """The oracle-replay kwargs (scheme/omega/local_iters) matching the
+    Pallas sweep backend's in-block solve for ``params`` -- mirrors
+    solver/xpbd_pallas._resolve_block_scheme.  omega / local_iters come
+    back as (edge, tet) pairs, which the oracle accepts directly."""
+    from ..solver.xpbd_pallas import _resolve_block_scheme
+
+    fam = _resolve_block_scheme(params)
+    (se, oe, ke), (st, ot, kt) = fam["edge"], fam["tet"]
+    return {"scheme": (se, st), "omega": (oe, ot),
+            "local_iters": (ke, kt)}
 
 
 def block_plans(topo, params):

@@ -273,7 +273,52 @@ def _cached_plans(topology, vertex_order, slots_cap, layer_cap,
     return result
 
 
-def _make_seg_sweep(segplan: _SegPlan, interpret: bool, alpha_pub=None):
+def _resolve_block_scheme(params: SolverParams, sharded: bool = False):
+    """Per-family block-scheme config from the params knobs.
+
+    Returns {"edge": (scheme, omega, k), "tet": (scheme, omega, k)}.
+    scheme / omega / local_iters accept a scalar (both families) or an
+    (edge, tet) pair.
+
+    'auto' resolves to the at-scale tuned split defaults (PLAN.md round
+    4a: north-star-scale settled residual vs the compiled reference's
+    serial GS -- edge 0.92x, tet 0.80x, from the legacy scale scheme's
+    0.92x/1.46x, at IDENTICAL steps/s): both families mass-split, omega
+    (1.5, 2.2), no in-block revisits.  When an 'auto' family resolves to
+    split, an un-set omega knob (its neutral default 1.0) resolves with
+    it; explicit values always win.
+
+    ``sharded``: the window-sharded Pallas path splits blocks across
+    devices, so within-block multiplicity counts would need cross-device
+    folding -- not designed yet; 'auto' stays on the legacy scale scheme
+    there (explicit split raises in the sharded builder)."""
+
+    def pair(v, cast):
+        if isinstance(v, (tuple, list)):
+            e, t = v
+            return cast(e), cast(t)
+        return cast(v), cast(v)
+
+    se, st = pair(params.xpbd_block_scheme, str)
+    oe, ot = pair(params.xpbd_block_omega, float)
+    ke, kt = pair(params.xpbd_block_local_iters, lambda x: max(1, int(x)))
+    om_default = not isinstance(params.xpbd_block_omega, (tuple, list)) \
+        and float(params.xpbd_block_omega) == 1.0
+    auto = "scale" if sharded else "split"
+    if se == "auto":
+        se = auto
+        if se == "split" and om_default:
+            oe = 1.5
+    if st == "auto":
+        st = auto
+        if st == "split" and om_default:
+            ot = 2.2
+    return {"edge": (se, oe, ke), "tet": (st, ot, kt)}
+
+
+def _make_seg_sweep(segplan: _SegPlan, interpret: bool, alpha_pub=None,
+                    scheme: str = "scale", omega: float = 1.0,
+                    local_iters: int = 1):
     """Segmented family sweep with the flat sweep's call contract:
     ``sweep(x8, lam_segs, alpha, tables) -> (x8, lam_segs)`` where x8 is
     the full (8, nwin*LANES) table and lam_segs / tables are per-segment
@@ -294,7 +339,8 @@ def _make_seg_sweep(segplan: _SegPlan, interpret: bool, alpha_pub=None):
         a_loc = (np.asarray(alpha_pub, np.float32)[seg.gids]
                  if alpha_pub is not None else None)
         call = sw.make_sweep(seg.plan, ws + seg.ngw, interpret=interpret,
-                             per_constraint_alpha=a_loc)
+                             per_constraint_alpha=a_loc, scheme=scheme,
+                             omega=omega, local_iters=local_iters)
         sweeps.append(call)
         tabs_all.append((call.tables, jnp.asarray(seg.gw, jnp.int32)))
 
@@ -411,24 +457,35 @@ def make_xpbd_pallas_step(topology, params: SolverParams,
         seg_windows)
     vpad = nwin * LANES
 
+    fam_scheme = _resolve_block_scheme(params)
+    e_sch, e_om, e_k = fam_scheme["edge"]
+    t_sch, t_om, t_k = fam_scheme["tet"]
     edge_sweep = tet_sweep = None
     e_gids = t_gids = None
     if has_edges:
         if segmented:
-            edge_sweep = _make_seg_sweep(e_plan, interpret, edge_c)
+            edge_sweep = _make_seg_sweep(e_plan, interpret, edge_c,
+                                         scheme=e_sch, omega=e_om,
+                                         local_iters=e_k)
             e_gids = tuple(jnp.asarray(s.gids, jnp.int32)
                            for s in e_plan.segs)
         else:
             edge_sweep = sw.make_sweep(e_plan, nwin, interpret=interpret,
-                                       per_constraint_alpha=edge_c)
+                                       per_constraint_alpha=edge_c,
+                                       scheme=e_sch, omega=e_om,
+                                       local_iters=e_k)
     if has_tets:
         if segmented:
-            tet_sweep = _make_seg_sweep(t_plan, interpret, tet_c)
+            tet_sweep = _make_seg_sweep(t_plan, interpret, tet_c,
+                                        scheme=t_sch, omega=t_om,
+                                        local_iters=t_k)
             t_gids = tuple(jnp.asarray(s.gids, jnp.int32)
                            for s in t_plan.segs)
         else:
             tet_sweep = sw.make_sweep(t_plan, nwin, interpret=interpret,
-                                      per_constraint_alpha=tet_c)
+                                      per_constraint_alpha=tet_c,
+                                      scheme=t_sch, omega=t_om,
+                                      local_iters=t_k)
     gravity = jnp.asarray(params.gravity, jnp.float32)
     fr = min(1.0, max(0.0, params.friction))
 
@@ -724,5 +781,12 @@ def make_xpbd_pallas_step(topology, params: SolverParams,
     step.block_order = {
         "edges": e_plan if has_edges else None,
         "tets": t_plan if has_tets else None,
+    }
+    # the in-block solve scheme the oracle replay must mirror
+    # (tests/oracle.py::step_blocks scheme/omega/local_iters kwargs);
+    # scheme/omega/local_iters are (edge, tet) pairs
+    step.block_scheme = {
+        "scheme": (e_sch, t_sch), "omega": (e_om, t_om),
+        "local_iters": (e_k, t_k),
     }
     return step

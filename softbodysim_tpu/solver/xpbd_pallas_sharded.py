@@ -243,9 +243,13 @@ def build_sharded_family(cons_pub, rest_pub, lcap, *, old2new, wd, D, vpad,
     if kernel == "xpbd":
         sweep = sw.make_sweep(rep, wd + gmax, interpret=interpret)
         atab = sweep.tables[5]
+        # all-ones count table: the sharded path runs the legacy scale
+        # scheme (the split scheme's cross-device multiplicity folding is
+        # not designed yet -- single-chip only for now)
         tables = (stack(lambda p: p.slots), stack(lambda p: p.rel),
                   stack(lambda p: p.inv), stack(lambda p: p.rest),
-                  stack(lambda p: p.scale), atab)
+                  stack(lambda p: p.scale), atab,
+                  stack(lambda p: np.ones_like(p.rel, np.float32)))
     else:
         from ..kernels.jacobi import make_jacobi_pass
 
@@ -291,6 +295,17 @@ def make_xpbd_pallas_sharded_step(topology, params: SolverParams,
         interpret = jax.default_backend() != "tpu"
     if params.dialect != "xpbd":
         raise ValueError("sharded pallas path implements the xpbd dialect")
+    from .xpbd_pallas import _resolve_block_scheme
+
+    fam_scheme = _resolve_block_scheme(params, sharded=True)
+    if any(f != ("scale", 1.0, 1) for f in fam_scheme.values()):
+        # blocks are window-split across devices here, so within-block
+        # multiplicity counts would need cross-device folding (not
+        # designed); 'auto' already resolves to scale on this path
+        raise ValueError(
+            "xpbd_block_scheme='split' (and block omega/local_iters) are "
+            "single-device only; the window-sharded path runs the legacy "
+            "scale scheme (leave the xpbd_block_* knobs at defaults)")
 
     D = mesh.shape[axis]
     V = topology.num_particles
@@ -453,8 +468,10 @@ def make_xpbd_pallas_sharded_step(topology, params: SolverParams,
             sq = lambda tup: tuple(a[0] for a in tup)
             lam_e = lam_e[0] if efam is not None else lam_e
             lam_t = lam_t[0] if tfam is not None else lam_t
-            e_tabs2 = (sq(e_tabs[:5]) + (e_tabs[5],)) if efam else None
-            t_tabs2 = (sq(t_tabs[:5]) + (t_tabs[5],)) if tfam else None
+            e_tabs2 = (sq(e_tabs[:5]) + (e_tabs[5], e_tabs[6][0])
+                       if efam else None)
+            t_tabs2 = (sq(t_tabs[:5]) + (t_tabs[5], t_tabs[6][0])
+                       if tfam else None)
             e_st2 = sq(e_st) if efam is not None else None
             t_st2 = sq(t_st) if tfam is not None else None
             # v7 w-fill prologue (once per program): inverse masses are
@@ -534,7 +551,8 @@ def make_xpbd_pallas_sharded_step(topology, params: SolverParams,
 
         shp = P(None, axis)          # (8|3, vpad) sharded along windows
         lshp = P(axis, None, None)   # (D, rows, LANES) device-major
-        tspec = (P(axis), P(axis), P(axis), P(axis), P(axis), P(None))
+        tspec = (P(axis), P(axis), P(axis), P(axis), P(axis), P(None),
+                 P(axis))
         sspec = (P(axis),) * 6
 
         return shard_map(

@@ -146,27 +146,47 @@ class XpbdOracle:
     # Replays kernels/sweep.py exactly.
 
     def step_blocks(self, dt, edge_blocks=None, tet_blocks=None,
-                    scheme="scale", omega=1.0):
+                    scheme="scale", omega=1.0, local_iters=1,
+                    symmetric=False):
         """scheme='scale': dlam *= per-lane scale (1/max within-block
         multiplicity, the round-2/3 kernels).  scheme='split': mass
         splitting -- the dlam denominator uses within-block per-vertex
         multiplicity-inflated inverse masses (sum c_i w_i |g_i|^2 + alpha)
         and the apply uses plain w (the per-copy c factors cancel when the
-        equal-mass copies are averaged).  omega over-relaxes dlam."""
+        equal-mass copies are averaged).  omega over-relaxes dlam.
+        local_iters repeats each block's Jacobi solve k times per visit
+        (block data is VMEM-resident in the kernels, so the revisits are
+        nearly free).  symmetric=True alternates block sweep direction
+        per solver iteration.  scheme / omega / local_iters accept a
+        scalar or an (edge, tet) pair (matching step.block_scheme)."""
         # each block is an id array or an (ids, dlambda_scale) pair
         p = self.params
         ss = max(1, p.substeps)
         sdt = F(dt) / F(ss)
-        omega = F(omega)
+
+        def pair(v):
+            return v if isinstance(v, (tuple, list)) else (v, v)
+
+        sch_e, sch_t = pair(scheme)
+        om_e, om_t = (F(v) for v in pair(omega))
+        k_e, k_t = (max(1, int(v)) for v in pair(local_iters))
         for _ in range(ss):
             self._predict(sdt)
-            for _ in range(p.iterations):
-                for blk in (edge_blocks or []):
-                    self._solve_edges_block(sdt, *self._blk(blk),
-                                            scheme=scheme, omega=omega)
-                for blk in (tet_blocks or []):
-                    self._solve_tets_block(sdt, *self._blk(blk),
-                                           scheme=scheme, omega=omega)
+            for it in range(p.iterations):
+                rev = symmetric and (it % 2 == 1)
+                eb = list(edge_blocks or [])
+                tb = list(tet_blocks or [])
+                if rev:
+                    eb.reverse()
+                    tb.reverse()
+                for blk in eb:
+                    for _ in range(k_e):
+                        self._solve_edges_block(sdt, *self._blk(blk),
+                                                scheme=sch_e, omega=om_e)
+                for blk in tb:
+                    for _ in range(k_t):
+                        self._solve_tets_block(sdt, *self._blk(blk),
+                                               scheme=sch_t, omega=om_t)
                 self._ground()
             self._commit(sdt)
 

@@ -72,7 +72,8 @@ def test_seg_matches_block_oracle():
     tb = _blocks(step.block_order["tets"])
     for _ in range(8):
         state = jitted(state)
-        oracle.step_blocks(DT, edge_blocks=eb, tet_blocks=tb)
+        oracle.step_blocks(DT, edge_blocks=eb, tet_blocks=tb,
+                           **step.block_scheme)
     np.testing.assert_allclose(np.asarray(state.x), oracle.x, atol=1e-4)
     np.testing.assert_allclose(np.asarray(state.v), oracle.v, atol=1e-3)
     np.testing.assert_allclose(np.asarray(state.edge_lambda),

@@ -60,7 +60,10 @@ def run_pair(which, steps, pinned=None):
     tb = _blocks(step.block_order["tets"])
     for _ in range(steps):
         state = jitted(state)
-        oracle.step_blocks(DT, edge_blocks=eb, tet_blocks=tb)
+        # mirror whatever in-block scheme the step resolved to (the tuned
+        # split defaults since round 4a)
+        oracle.step_blocks(DT, edge_blocks=eb, tet_blocks=tb,
+                           **step.block_scheme)
     return state, oracle
 
 
@@ -193,3 +196,65 @@ def test_merged_xpbd_mixed_compliance_behaves():
     s_rigid = squash(slice(voffs[0], voffs[1]), t1)
     s_soft = squash(slice(voffs[1], voffs[2]), t2)
     assert s_soft > s_rigid + 1e-3
+
+
+def test_split_scheme_matches_block_oracle():
+    """Mass-splitting scheme (+ omega + local re-iterations): the kernels
+    match the oracle replay with the same scheme kwargs.  Covers the
+    count-table fill (c_i * w_i denominators), the target-side-w tet
+    apply, and lambda accumulation across K in-block revisits."""
+    topo = meshes.tet_cube(4, 4, 4, size=0.5, center=(0.0, 0.6, 0.0))
+    params = SolverParams(dialect="xpbd", substeps=2, iterations=3,
+                          volume_compliance=1e-5,
+                          xpbd_block_scheme="split", xpbd_block_omega=1.5,
+                          xpbd_block_local_iters=2)
+    step = make_xpbd_pallas_step(topo, params, interpret=True)
+    assert step.block_scheme == {"scheme": ("split", "split"),
+                                 "omega": (1.5, 1.5),
+                                 "local_iters": (2, 2)}
+    jitted = jax.jit(lambda s: step(s, DT))
+    state = init_state(topo)
+    oracle = XpbdOracle(topo, params)
+    eb = _blocks(step.block_order["edges"])
+    tb = _blocks(step.block_order["tets"])
+    for _ in range(8):
+        state = jitted(state)
+        oracle.step_blocks(DT, edge_blocks=eb, tet_blocks=tb,
+                           scheme="split", omega=1.5, local_iters=2)
+    np.testing.assert_allclose(np.asarray(state.x), oracle.x, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(state.edge_lambda),
+                               oracle.edge_lambda, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(state.tet_lambda),
+                               oracle.tet_lambda, atol=1e-4)
+
+
+def test_scale_scheme_matches_block_oracle():
+    """The legacy scale scheme (explicit knob; all-ones count tables make
+    the w-fill bit-identical to the pre-scheme kernels) still replays
+    against the oracle -- the no-regression pin now that 'auto' resolves
+    to the tuned split defaults (round 4a)."""
+    topo = meshes.tet_cube(3, 3, 3, size=0.5, center=(0.0, 0.4, 0.0))
+    params = SolverParams(dialect="xpbd", substeps=1, iterations=2,
+                          xpbd_block_scheme="scale")
+    step = make_xpbd_pallas_step(topo, params, interpret=True)
+    assert step.block_scheme == {"scheme": ("scale", "scale"),
+                                 "omega": (1.0, 1.0),
+                                 "local_iters": (1, 1)}
+    jitted = jax.jit(lambda s: step(s, DT))
+    state = init_state(topo)
+    oracle = XpbdOracle(topo, params)
+    eb = _blocks(step.block_order["edges"])
+    tb = _blocks(step.block_order["tets"])
+    for _ in range(5):
+        state = jitted(state)
+        oracle.step_blocks(DT, edge_blocks=eb, tet_blocks=tb)
+    np.testing.assert_allclose(np.asarray(state.x), oracle.x, atol=1e-4)
+
+
+def test_auto_resolves_to_tuned_split():
+    topo = meshes.tet_cube(3, 3, 3, size=0.5, center=(0.0, 0.4, 0.0))
+    step = make_xpbd_pallas_step(
+        topo, SolverParams(dialect="xpbd"), interpret=True)
+    assert step.block_scheme == {"scheme": ("split", "split"),
+                                 "omega": (1.5, 2.2),
+                                 "local_iters": (1, 1)}

@@ -168,7 +168,8 @@ def test_grouped_full_step_matches_block_oracle(monkeypatch):
     jitted = jax.jit(lambda s: step(s, dt))
     for _ in range(6):
         state = jitted(state)
-        oracle.step_blocks(dt, edge_blocks=eb, tet_blocks=tb)
+        oracle.step_blocks(dt, edge_blocks=eb, tet_blocks=tb,
+                           **step.block_scheme)
     np.testing.assert_allclose(np.asarray(state.x), oracle.x, atol=1e-4)
     np.testing.assert_allclose(np.asarray(state.edge_lambda),
                                oracle.edge_lambda, atol=1e-4)

@@ -52,12 +52,12 @@ def main():
           f"[{time.time()-t0:.1f}s]")
 
     schemes = [
-        ("scale  w=1.0", dict(scheme="scale", omega=1.0)),
-        ("scale  w=1.5", dict(scheme="scale", omega=1.5)),
-        ("split  w=1.0", dict(scheme="split", omega=1.0)),
-        ("split  w=1.2", dict(scheme="split", omega=1.2)),
-        ("split  w=1.5", dict(scheme="split", omega=1.5)),
-        ("split  w=1.7", dict(scheme="split", omega=1.7)),
+        ("split w=1.9 k=2  ", dict(scheme="split", omega=1.9,
+                                   local_iters=2)),
+        ("split w=1.7 k=3  ", dict(scheme="split", omega=1.7,
+                                   local_iters=3)),
+        ("split w=2.2 k=2  ", dict(scheme="split", omega=2.2,
+                                   local_iters=2)),
     ]
     for name, kw in schemes:
         t0 = time.time()
