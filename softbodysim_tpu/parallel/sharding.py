@@ -30,6 +30,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core.state import SimState, SolverParams
 from ..core.topology import Topology
 from ..collide.primitives import Colliders, collide_particles, project_ground_plane
+from ..solver.accel import chebyshev_scan
 from ..solver.jacobi import (
     apply_delta, edge_jacobi_deltas, tet_jacobi_deltas)
 
@@ -127,11 +128,8 @@ def make_mesh_sharded_step(topology: Topology, params: SolverParams,
     k_cols = 0 if colliders is None else colliders.count
     self_collide, surf_collide = _build_global_stages(topology, params)
 
-    k_edge = jnp.float32(params.edge_stiffness)
-    k_vol = jnp.float32(params.volume_stiffness)
-    omega = jnp.float32(params.sor_omega)
-
-    def local_scene_step(state: SimState, sdt, e, er, t, tr) -> SimState:
+    def local_scene_step(state: SimState, sdt, e, er, t, tr,
+                         k_edge, k_vol, omega) -> SimState:
         """One scene, local constraint shards; psum over model axis."""
 
         def iteration(carry, _):
@@ -169,9 +167,11 @@ def make_mesh_sharded_step(topology: Topology, params: SolverParams,
             pinned = (st.inv_mass == 0.0)[:, None]
             v = jnp.where(pinned, 0.0, st.v + gravity * sdt)
             x_pred = jnp.where(pinned, st.x, st.x + v * sdt)
-            (x_pred, _), _ = jax.lax.scan(
-                iteration, (x_pred, st.inv_mass), None,
-                length=params.iterations)
+            # chebyshev blend is elementwise on the replicated positions,
+            # so it composes with the psum'd jacobi update unchanged
+            x_pred = chebyshev_scan(
+                lambda x: iteration((x, st.inv_mass), None)[0][0],
+                x_pred, params)
             inv_dt = jnp.where(sdt > 0.0, 1.0 / sdt, 0.0)
             v = jnp.where(pinned, 0.0, (x_pred - st.x) * inv_dt)
             x = jnp.where(pinned, st.x, x_pred)
@@ -183,10 +183,11 @@ def make_mesh_sharded_step(topology: Topology, params: SolverParams,
                                 length=max(1, params.substeps))
         return state
 
-    def shard_body(state_local, dt, e, er, t, tr):
+    def shard_body(state_local, dt, e, er, t, tr, ke, kv, om):
         sdt = jnp.asarray(dt, jnp.float32) / max(1, params.substeps)
         return jax.vmap(
-            lambda s: local_scene_step(s, sdt, e, er, t, tr))(state_local)
+            lambda s: local_scene_step(s, sdt, e, er, t, tr,
+                                       ke, kv, om))(state_local)
 
     state_spec = P(data_axis)
     cons_spec = P(model_axis)
@@ -195,7 +196,7 @@ def make_mesh_sharded_step(topology: Topology, params: SolverParams,
         shard_body,
         mesh=mesh,
         in_specs=(state_spec, P(), cons_spec, cons_spec, cons_spec,
-                  cons_spec),
+                  cons_spec, P(), P(), P()),
         out_specs=state_spec,
         check_vma=False,
     )
@@ -205,9 +206,19 @@ def make_mesh_sharded_step(topology: Topology, params: SolverParams,
     t_j = jnp.asarray(tets)
     tr_j = jnp.asarray(tet_rest)
 
-    def step(state_batched: SimState, dt) -> SimState:
+    def step(state_batched: SimState, dt, edge_stiffness=None,
+             volume_stiffness=None, sor_omega=None) -> SimState:
+        """Traced material overrides (same contract as the single-device
+        jacobi step): replicated scalars, so diff.fit can optimize
+        stiffness through the sharded rollout."""
+        ke = jnp.float32(params.edge_stiffness
+                         if edge_stiffness is None else edge_stiffness)
+        kv = jnp.float32(params.volume_stiffness
+                         if volume_stiffness is None else volume_stiffness)
+        om = jnp.float32(params.sor_omega
+                         if sor_omega is None else sor_omega)
         return sharded(state_batched, jnp.asarray(dt, jnp.float32),
-                       e_j, er_j, t_j, tr_j)
+                       e_j, er_j, t_j, tr_j, ke, kv, om)
 
     return step
 
@@ -735,8 +746,10 @@ def make_vertex_sharded_step(topology: Topology, params: SolverParams,
             pinned = (w_loc == 0.0)[:, None]
             v = jnp.where(pinned, 0.0, v_loc + gravity * sdt)
             x_pred = jnp.where(pinned, x_loc, x_loc + v * sdt)
-            x_pred, _ = jax.lax.scan(iteration, x_pred, None,
-                                     length=params.iterations)
+            # chebyshev blends each device's own vertex slice (elementwise;
+            # the all_gathers inside iteration see the blended iterate)
+            x_pred = chebyshev_scan(lambda x: iteration(x, None)[0],
+                                    x_pred, params)
             inv_dt = jnp.where(sdt > 0.0, 1.0 / sdt, 0.0)
             v = jnp.where(pinned, 0.0, (x_pred - x_loc) * inv_dt)
             x = jnp.where(pinned, x_loc, x_pred)
@@ -1277,17 +1290,10 @@ def make_sharded_step(topology: Topology, params: SolverParams, mesh: Mesh,
     big = (topology.num_edges + topology.num_tets) >= 100_000
     on_tpu = jax.default_backend() == "tpu"
 
-    # chebyshev is a jacobi-dialect knob: xpbd ignores it on every backend
-    # (matching the single-device behavior, where solver/xpbd.py never
-    # reads the flag), so only the jacobi sharded loops must honor it.
-    if params.chebyshev and params.dialect == "jacobi":
-        # the jacobi sharded iteration loops have no blend carry yet;
-        # failing loud beats silently dropping the acceleration
-        raise ValueError("chebyshev acceleration is not supported on "
-                         "sharded jacobi backends yet -- use a "
-                         "single-device Engine (jacobi_backend='pallas' "
-                         "or 'gather')")
-
+    # chebyshev is a jacobi-dialect knob honored on every sharded jacobi
+    # loop (the blend carry threads through the per-iteration scans);
+    # xpbd ignores it on every backend, matching the single-device
+    # behavior where solver/xpbd.py never reads the flag.
     if params.dialect == "xpbd":
         backend = params.xpbd_backend
         if backend == "auto":

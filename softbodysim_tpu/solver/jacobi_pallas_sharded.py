@@ -51,6 +51,7 @@ from jax import shard_map
 
 from ..core.state import SimState, SolverParams
 from ..kernels import sweep as sw
+from .accel import chebyshev_scan
 from .xpbd_pallas_sharded import _Family, build_sharded_family
 
 LANES = 128
@@ -289,8 +290,13 @@ def make_jacobi_pallas_sharded_step(topology, params: SolverParams,
                         x8 = collide_stage(x8)
                     return x8, None
 
-                x8, _ = jax.lax.scan(iteration, x8, None,
-                                     length=params.iterations)
+                # chebyshev blends the position rows of the sharded x8
+                # table (elementwise per window shard); pinned/dead lanes
+                # collapse to identity like the single-device Pallas path
+                x8 = chebyshev_scan(
+                    lambda c: iteration(c, None)[0], x8, params,
+                    get=lambda c: c[0:3],
+                    set_=lambda c, p: c.at[0:3].set(p))
 
                 # PostSolve (SoftBodySolver.cs:364-377)
                 inv_dt = jnp.where(sdt > 0.0, 1.0 / sdt, 0.0)
