@@ -51,6 +51,7 @@ from .core.topology import Topology, build_topology
 from .core import meshes
 from .collide.primitives import Colliders
 from .solver import make_step
+from .api.dynamic import DynamicMergedWorld
 from .api.engine import Engine
 from .api.world import World, Body
 from . import diff
@@ -59,5 +60,6 @@ __version__ = "0.1.0"
 
 __all__ = [
     "SimState", "SolverParams", "init_state", "Topology", "build_topology",
-    "meshes", "Colliders", "make_step", "Engine", "World", "Body", "diff",
+    "meshes", "Colliders", "make_step", "Engine", "World", "Body",
+    "DynamicMergedWorld", "diff",
 ]

@@ -218,6 +218,13 @@ class Engine:
             self.step(dt)
         return self
 
+    @property
+    def backend(self) -> Optional[str]:
+        """The concrete solver backend the step resolved to ("gather",
+        "segment", "scatter", "pallas", ...); None for sharded steps,
+        which have their own dispatch (parallel/sharding.py)."""
+        return getattr(self._raw_step, "backend", None)
+
     def positions_device(self):
         """Device-side committed positions (V,3); on a carry backend this
         skips the full lambda-unpack boundary (row gather only)."""

@@ -225,26 +225,26 @@ def make_jacobi_step(topology, params: SolverParams,
     # formulation).  Above ~100k constraints the Pallas pass kernels
     # (kernels/jacobi.py) win ~10x on the plain world-space path.
     # Thresholds measured on TPU v5e.
-    backend = params.jacobi_backend
-    pallas_ok = local_to_world is None
-    if backend == "auto":
-        # measured on v5e (fused 20-step programs): gather beats segment at
-        # every scale tried -- 1.27x at V=1331, 1.26x at V=4096, 1.12x at
-        # V=15625, 1.69x on a 32-scene vmapped batch.  Pallas only on real
-        # TPU: interpret mode at 100k+ constraints is unusably slow.
-        import jax as _jax
+    # measured on v5e (fused 20-step programs): gather beats segment at
+    # every scale tried -- 1.27x at V=1331, 1.26x at V=4096, 1.12x at
+    # V=15625, 1.69x on a 32-scene vmapped batch.  Pallas only on real
+    # TPU: interpret mode at 100k+ constraints is unusably slow.
+    # Thresholds live in solver/select.py::resolve_backend.
+    from .select import resolve_backend
 
-        big = (topology.num_edges + topology.num_tets) >= 100_000
-        on_tpu = _jax.default_backend() == "tpu"
-        backend = "pallas" if (big and pallas_ok and on_tpu) else "gather"
+    pallas_ok = local_to_world is None
+    backend = resolve_backend(topology, params,
+                              local_to_world=local_to_world)
     if backend == "pallas":
         if not pallas_ok:
             raise ValueError(
                 "jacobi_backend='pallas' does not support local-space "
                 "transforms -- use 'gather' (or 'auto', which falls back)")
         from .jacobi_pallas import make_jacobi_pallas_step
-        return make_jacobi_pallas_step(topology, params, colliders,
+        step = make_jacobi_pallas_step(topology, params, colliders,
                                        edge_k=edge_k, tet_k=tet_k)
+        step.backend = backend
+        return step
     if backend == "gather":
         from ..core.adjacency import (
             bucketize_padded, padded_edge_adjacency, padded_tet_adjacency)
@@ -506,4 +506,5 @@ def make_jacobi_step(topology, params: SolverParams,
                         inv_mass=inv_mass0, edge_lambda=carry[3],
                         tet_lambda=carry[4])
 
+    step.backend = backend
     return step

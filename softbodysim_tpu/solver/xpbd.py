@@ -220,26 +220,24 @@ def make_xpbd_step(topology, params: SolverParams,
     has_edges = topology.num_edges > 0
     has_tets = topology.num_tets > 0
 
-    backend = params.xpbd_backend
-    if backend == "auto":
-        # color-major gather sweeps beat the padded scatter scans ~8x on
-        # v5e; above ~100k constraints the Pallas sweep kernels win another
-        # ~10x (kernels/sweep.py) at the cost of block-synchronous (rather
-        # than colored-GS) constraint ordering -- an ordering change of the
-        # same class as coloring itself, so "auto" takes it for big scenes.
-        # (pallas only on real TPU: interpret mode at this scale is
-        # unusably slow)
-        import jax as _jax
+    # color-major gather sweeps beat the padded scatter scans ~8x on
+    # v5e; above ~100k constraints the Pallas sweep kernels win another
+    # ~10x (kernels/sweep.py) at the cost of block-synchronous (rather
+    # than colored-GS) constraint ordering -- an ordering change of the
+    # same class as coloring itself, so "auto" takes it for big scenes
+    # (only on real TPU: interpret mode at this scale is unusably slow).
+    # Thresholds live in solver/select.py::resolve_backend.
+    from .select import resolve_backend
 
-        big = (topology.num_edges + topology.num_tets) >= 100_000
-        on_tpu = _jax.default_backend() == "tpu"
-        backend = "pallas" if (big and on_tpu) else "gather"
+    backend = resolve_backend(topology, params)
     if backend == "pallas":
         # VMEM-resident Pallas sweep kernels (kernels/sweep.py); its own
         # module owns layout conversion and the block-synchronous ordering
         from .xpbd_pallas import make_xpbd_pallas_step
-        return make_xpbd_pallas_step(topology, params, colliders,
+        step = make_xpbd_pallas_step(topology, params, colliders,
                                      edge_c=edge_c, tet_c=tet_c)
+        step.backend = backend
+        return step
     if edge_c is not None or tet_c is not None:
         raise ValueError(
             "per-constraint compliance (edge_c/tet_c) requires "
@@ -508,4 +506,5 @@ def make_xpbd_step(topology, params: SolverParams,
                 state.tet_lambda[t_inv] if has_tets else state.tet_lambda)
         return state
 
+    step.backend = backend
     return step
