@@ -1,0 +1,65 @@
+"""Textured lit viewer demo: the cirno fumo, end-to-end (VERDICT r3 #7).
+
+Pipeline (the reference's render stack, TPU-native):
+  1. load the reference's cirno_low.obj render mesh WITH its UVs
+     (core/meshes.load_obj_uv);
+  2. tetrahedralize it body-fitted (core/tetrahedralize.topology_from_mesh
+     -- voxel 5-tet + surface snap);
+  3. embed the render mesh in the sim mesh (render/embedding.py,
+     barycentric skinning == the reference's tet-embedding of the render
+     mesh);
+  4. drop it on the ground with the XPBD solver;
+  5. export a playable single-file WebGL viewer with smooth per-frame
+     normals and textured Blinn-Phong lighting
+     (render/viewer.export_html_lit == SoftBodyGpuRenderLit.shader:58-97;
+     procedural checker texture, since the reference repo ships only the
+     texture's .meta).
+
+Run: python examples/textured_fumo.py [out.html]
+"""
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np  # noqa: E402
+
+from softbodysim_tpu import Engine, SolverParams  # noqa: E402
+from softbodysim_tpu.core.meshes import load_obj_uv  # noqa: E402
+from softbodysim_tpu.core.tetrahedralize import (  # noqa: E402
+    topology_from_mesh)
+from softbodysim_tpu.render.embedding import embed_topology  # noqa: E402
+from softbodysim_tpu.render.viewer import (  # noqa: E402
+    AnimationRecorder, checker_texture)
+
+OBJ = "/root/reference/Assets/Models/cirno_low.obj"
+
+
+def main(out="fumo_textured.html", steps=120):
+    rv, rf, ruv = load_obj_uv(OBJ)
+    # normalize to ~1 m tall above the ground
+    rv = rv - rv.min(0)
+    rv = rv / max(1e-9, rv[:, 1].max())
+    rv[:, 1] += 0.45
+
+    topo = topology_from_mesh(rv, rf, resolution=12)
+    print(f"sim mesh: V={topo.num_particles} E={topo.num_edges} "
+          f"T={topo.num_tets}; render verts={len(rv)}")
+    emb, skin = embed_topology(rv, rf, topo)
+    print(f"embedding: {emb.inside_fraction * 100:.1f}% inside")
+
+    eng = Engine(topo, SolverParams(dialect="xpbd", substeps=4,
+                                    iterations=4,
+                                    volume_compliance=1e-6))
+    rec = AnimationRecorder()
+    rec.add_body(rf, lambda: np.asarray(skin(eng.positions_device())),
+                 uvs=ruv)
+    for _ in range(steps):
+        eng.step(1.0 / 60.0)
+        rec.capture()
+    path = rec.export(out, fps=60, title="cirno fumo (textured)",
+                      texture=checker_texture(256, 12))
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main(*(sys.argv[1:] or []))

@@ -200,3 +200,39 @@ def load_obj(path: str) -> Tuple[np.ndarray, np.ndarray]:
                 for k in range(1, len(idx) - 1):
                     faces.append([idx[0], idx[k], idx[k + 1]])
     return np.asarray(verts, np.float32), np.asarray(faces, np.int64)
+
+
+def load_obj_uv(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """OBJ loader with texture coordinates: (verts, faces, uvs) where uvs
+    is a per-VERTEX (V, 2) table (first vt referenced by each vertex wins
+    -- the usual per-vertex simplification of OBJ's per-corner vt
+    indices; seams collapse to one side).  Vertices never referenced with
+    a vt get uv (0, 0)."""
+    verts, vts, faces = [], [], []
+    uv_of = {}
+    with open(path, "r", encoding="utf-8", errors="replace") as f:
+        for line in f:
+            if line.startswith("v "):
+                p = line.split()
+                verts.append([float(p[1]), float(p[2]), float(p[3])])
+            elif line.startswith("vt "):
+                p = line.split()
+                vts.append([float(p[1]), float(p[2])])
+            elif line.startswith("f "):
+                corners = []
+                for tok in line.split()[1:]:
+                    sub = tok.split("/")
+                    vi = int(sub[0]) - 1
+                    corners.append(vi)
+                    if len(sub) > 1 and sub[1]:
+                        uv_of.setdefault(vi, int(sub[1]) - 1)
+                for k in range(1, len(corners) - 1):
+                    faces.append([corners[0], corners[k], corners[k + 1]])
+    verts = np.asarray(verts, np.float32)
+    vts = np.asarray(vts, np.float32) if vts else np.zeros((0, 2),
+                                                           np.float32)
+    uvs = np.zeros((len(verts), 2), np.float32)
+    for vi, ti in uv_of.items():
+        if 0 <= ti < len(vts):
+            uvs[vi] = vts[ti]
+    return verts, np.asarray(faces, np.int64), uvs
