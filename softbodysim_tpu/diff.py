@@ -79,14 +79,51 @@ def differentiable_params(params: SolverParams) -> SolverParams:
 
 
 def make_rollout(topology, params: SolverParams, *, dt: float, nsteps: int,
-                 colliders=None, remat: bool = True):
+                 colliders=None, remat: bool = True, mesh=None,
+                 data_axis: str = "data", model_axis: str = "model"):
     """Build ``rollout(state0, overrides=None) -> (nsteps, V, 3)``: the
     position trajectory of ``nsteps`` solver steps, differentiable w.r.t.
     both ``state0`` and the traced material ``overrides`` dict (keys from
-    ``FITTABLE[params.dialect]``)."""
+    ``FITTABLE[params.dialect]``).
+
+    ``mesh`` (a jax.sharding.Mesh with ``data_axis``/``model_axis``):
+    DISTRIBUTED differentiable rollout -- the step is the constraint-
+    sharded multi-chip path (parallel/sharding.make_mesh_sharded_step
+    for jacobi, make_xpbd_sharded_step behind a custom-vjp for xpbd --
+    see _sharded_xpbd_custom_vjp), state0 is batched with a leading
+    scene axis sharded over ``data_axis``, and the returned trajectory
+    is (nsteps, B, V, 3).  For jacobi, reverse-mode flows through the
+    psum collectives directly at ~1e-6 gradient parity; for xpbd the
+    backward linearizes the single-device scatter twin (same function;
+    traced material overrides are jacobi-only under a mesh).  Tests:
+    tests/test_diff_sharded.py."""
     p = differentiable_params(params)
     allowed = FITTABLE[p.dialect] + _ROLLOUT_ONLY[p.dialect]
-    step = make_step(topology, p, colliders=colliders)
+    if mesh is not None:
+        if p.dialect == "jacobi":
+            from .parallel.sharding import make_mesh_sharded_step
+
+            allowed = FITTABLE["jacobi"]      # the traced-scalar surface
+            step = make_mesh_sharded_step(topology, p, mesh,
+                                          colliders=colliders,
+                                          data_axis=data_axis,
+                                          model_axis=model_axis)
+        else:
+            # xpbd: the sharded steps' reverse-mode programs hit an XLA
+            # transpose pathology (round 3f / round 4 probes: the colored
+            # gather chain transposes into a scatter form XLA:CPU takes
+            # 10+ min to compile inside shard_map).  custom-vjp fallback:
+            # the sharded step computes the SAME function as the
+            # single-device colored-GS step (tests assert 1e-5), so the
+            # backward pass may legally linearize the single-device
+            # scatter-backend twin (whose transpose is a cheap gather) --
+            # distributed forward, single-device backward.
+            allowed = ()                      # traced overrides: not yet
+            step = _sharded_xpbd_custom_vjp(topology, p, mesh,
+                                            colliders, data_axis,
+                                            model_axis, dt)
+    else:
+        step = make_step(topology, p, colliders=colliders)
 
     def one(state: SimState, overrides) -> SimState:
         return step(state, dt, **overrides)
@@ -111,10 +148,51 @@ def make_rollout(topology, params: SolverParams, *, dt: float, nsteps: int,
     return rollout
 
 
+def _sharded_xpbd_custom_vjp(topology, p: SolverParams, mesh, colliders,
+                             data_axis, model_axis, dt):
+    """Distributed xpbd forward with a single-device backward.
+
+    The constraint-sharded xpbd step (parallel/sharding.
+    make_xpbd_sharded_step) computes the same function as the
+    single-device colored-GS step at public state boundaries
+    (tests/test_sharding.py asserts 1e-5), but its reverse-mode program
+    hits the XLA transpose pathology (round 3f; reconfirmed round 4:
+    XLA:CPU's slow-compile alarm fires and compilation runs 10+ min).
+    So: custom_vjp with the sharded program as forward and the
+    linearization of the single-device SCATTER-backend twin (transpose =
+    cheap gather, ~15 s compile) as backward.  Gradients match the
+    single-device rollout to fp32 reassociation tolerance; the backward
+    recomputes one single-device forward per step (the usual remat
+    trade)."""
+    from .parallel.sharding import make_xpbd_sharded_step
+
+    sharded = make_xpbd_sharded_step(topology, p, mesh,
+                                     colliders=colliders,
+                                     data_axis=data_axis,
+                                     model_axis=model_axis)
+    single = make_step(topology, p.replace(xpbd_backend="scatter"),
+                       colliders=colliders)
+    vm_single = jax.vmap(lambda s: single(s, dt))
+
+    @jax.custom_vjp
+    def one(state):
+        return sharded(state, dt)
+
+    def fwd(state):
+        return sharded(state, dt), state
+
+    def bwd(state_saved, ct):
+        _, vjp_fn = jax.vjp(vm_single, state_saved)
+        return vjp_fn(ct)
+
+    one.defvjp(fwd, bwd)
+    return lambda state, _dt, **_ov: one(state)
+
+
 def make_trajectory_loss(topology, params: SolverParams, target, *,
                          dt: float, state0: Optional[SimState] = None,
                          pinned=None, colliders=None, remat: bool = True,
-                         observed=None):
+                         observed=None, mesh=None):
     """Build ``loss(overrides) -> scalar``: mean squared position error of
     a rollout against ``target``.  Differentiable; feed to ``jax.grad`` /
     any optax optimizer (``fit`` does).
@@ -138,19 +216,29 @@ def make_trajectory_loss(topology, params: SolverParams, target, *,
         want = (int(observed.shape[0]), 3)
     else:
         want = (topology.num_particles, 3)
-    if target.ndim != 3 or target.shape[1:] != want:
+    if mesh is not None:
+        # sharded rollouts are scene-batched: target (nsteps, B, V|K, 3)
+        if target.ndim != 4 or target.shape[2:] != want:
+            raise ValueError(
+                f"sharded target must be (nsteps, B, {want[0]}, 3), "
+                f"got {target.shape}")
+        if state0 is None:
+            raise ValueError("sharded loss needs an explicit batched "
+                             "state0 (shard it over the data axis)")
+    elif target.ndim != 3 or target.shape[1:] != want:
         raise ValueError(
             f"target must be (nsteps, {want[0]}, 3), got {target.shape}")
     rollout = make_rollout(topology, params, dt=dt,
                            nsteps=int(target.shape[0]),
-                           colliders=colliders, remat=remat)
+                           colliders=colliders, remat=remat, mesh=mesh)
     if state0 is None:
         state0 = init_state(topology, pinned=pinned)
 
     def loss(overrides) -> jax.Array:
         traj = rollout(state0, overrides)
         if observed is not None:
-            traj = traj[:, observed]
+            traj = (traj[:, :, observed] if mesh is not None
+                    else traj[:, observed])
         return jnp.mean(jnp.square(traj - target))
 
     return loss
@@ -168,7 +256,7 @@ def fit(topology, params: SolverParams, target, *, dt: float,
         state0: Optional[SimState] = None, pinned=None, colliders=None,
         steps: int = 100, learning_rate: float = 0.2, optimizer=None,
         log_space: bool = True, remat: bool = True,
-        tol: float = 1e-2, observed=None) -> FitResult:
+        tol: float = 1e-2, observed=None, mesh=None) -> FitResult:
     """Recover material parameters from an observed trajectory.
 
     Minimizes mean squared position error of an ``nsteps``-long rollout
@@ -191,7 +279,7 @@ def fit(topology, params: SolverParams, target, *, dt: float,
                          f"dialect {params.dialect!r}; allowed: {allowed}")
     loss_of_ov = make_trajectory_loss(
         topology, params, target, dt=dt, state0=state0, pinned=pinned,
-        colliders=colliders, remat=remat, observed=observed)
+        colliders=colliders, remat=remat, observed=observed, mesh=mesh)
 
     start = {n: float((init or {}).get(n, getattr(params, n)))
              for n in names}
