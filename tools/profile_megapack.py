@@ -1,10 +1,14 @@
 """Megascale plan-build profile (VERDICT r3 #5): end-to-end wall time to
-build the XPBD Pallas step's plans at N particles, with a per-stage
-breakdown (order, pack, regroup, table materialization).
+build the XPBD Pallas step's plans at N particles, via the production
+path (solver/xpbd_pallas._cached_plans with the auto-selected segmented
+layout), with cProfile attribution of the hot stages.
 
-Run: python tools/profile_megapack.py [n_side]
-n_side=126 -> 2,000,376 particles (the 2M scale point).
+Run: python tools/profile_megapack.py [n_side] [--cprofile]
+n_side=126 -> 2,048,383 particles (the 2M scale point).
 """
+import cProfile
+import io
+import pstats
 import sys
 import time
 
@@ -13,9 +17,12 @@ sys.path.insert(0, "/root/repo")
 import numpy as np  # noqa: E402
 
 
-def main(n_side=126):
-    import softbodysim_tpu.kernels.sweep as sw
+def main(n_side=126, do_profile=False):
+    import softbodysim_tpu.solver.xpbd_pallas as xp
     from softbodysim_tpu.core import meshes
+    from softbodysim_tpu.kernels.sweep import LANES
+    from softbodysim_tpu.solver.xpbd_pallas import (
+        DEFAULT_SEG_WINDOWS, MAX_FLAT_WINDOWS)
 
     t0 = time.time()
     topo = meshes.tet_cube(n_side, n_side, n_side, size=2.0,
@@ -24,35 +31,41 @@ def main(n_side=126):
     print(f"mesh: V={topo.num_particles:,} E={topo.num_edges:,} "
           f"T={topo.num_tets:,}  [{t_mesh:.1f}s]", flush=True)
 
-    t0 = time.time()
-    aligned = sw.aligned_order(topo.num_particles, topo.edges)
-    t_order = time.time() - t0
-    print(f"aligned_order: {t_order:.1f}s", flush=True)
-    perm_layout, old2new = aligned
-    nwin = len(perm_layout) // sw.LANES
+    est_nwin = -(-topo.num_particles // LANES)
+    seg = DEFAULT_SEG_WINDOWS if est_nwin > MAX_FLAT_WINDOWS else 0
+    print(f"seg_windows={seg}", flush=True)
 
-    stages = {}
-    plans = {}
-    for fam, cons, rest, lcap in (
-            ("edge", topo.edges, topo.edge_rest, 2),
-            ("tet", topo.tets, topo.tet_rest_vol, 3)):
-        c = old2new[np.asarray(cons, np.int64)]
-        t0 = time.time()
-        plan = sw.pack_superblocks(c, rest, nwin, layer_cap=lcap)
-        stages[f"pack_{fam}"] = time.time() - t0
-        t0 = time.time()
-        plan = sw.regroup_plan(plan)
-        stages[f"regroup_{fam}"] = time.time() - t0
-        plans[fam] = plan
-        print(f"{fam}: pack {stages[f'pack_{fam}']:.1f}s  regroup "
-              f"{stages[f'regroup_{fam}']:.1f}s  blocks={plan.num_super} "
-              f"groups={plan.groups}", flush=True)
+    # bypass the disk plan store so we time a real build
+    from softbodysim_tpu.io import plan_store as ps
 
-    total = t_mesh + t_order + sum(stages.values())
-    print(f"TOTAL plan build: {total:.1f}s "
-          f"(mesh {t_mesh:.1f} + order {t_order:.1f} + "
-          f"pack/regroup {sum(stages.values()):.1f})", flush=True)
+    orig_save, orig_load = ps.save, ps.load
+    ps.save = lambda *a, **k: None
+    ps.load = lambda *a, **k: None
+    try:
+        t0 = time.time()
+        if do_profile:
+            pr = cProfile.Profile()
+            pr.enable()
+        res = xp._cached_plans(topo, "auto", None, None, True, seg)
+        if do_profile:
+            pr.disable()
+        t_build = time.time() - t0
+    finally:
+        ps.save = orig_save
+        ps.load = orig_load
+    perm, old2new, nwin, e_plan, t_plan = res
+    print(f"plan build: {t_build:.1f}s  (nwin={nwin}, "
+          f"edge segs={len(getattr(e_plan, 'segs', [])) or 'flat'}, "
+          f"tet segs={len(getattr(t_plan, 'segs', [])) or 'flat'})",
+          flush=True)
+    print(f"TOTAL (mesh + build): {t_mesh + t_build:.1f}s", flush=True)
+    if do_profile:
+        s = io.StringIO()
+        pstats.Stats(pr, stream=s).sort_stats("cumulative").print_stats(25)
+        print(s.getvalue())
 
 
 if __name__ == "__main__":
-    main(*(int(a) for a in sys.argv[1:]))
+    args = [a for a in sys.argv[1:] if a != "--cprofile"]
+    main(*(int(a) for a in args),
+         do_profile="--cprofile" in sys.argv)
