@@ -159,6 +159,20 @@ class SolverParams:
     # so the tuned defaults revisit only tets.
     xpbd_block_local_iters: Any = 1
 
+    # x-table precision on the Pallas sweep backend: "float32" (default)
+    # or "bfloat16".  The opt-in halves the VMEM-resident particle table
+    # and measured +12.6% step rate at 1M particles (pure bandwidth) --
+    # BUT absolute bf16 positions carry an 8-bit mantissa, so the option
+    # is only physically valid when the scene spans less than ~100 edge
+    # rest-lengths per axis (position ulp << rest length); beyond that
+    # the rounding noise rivals the edge strain and the constraint solve
+    # jams (measured at 1M: the body visibly stops falling -- PLAN.md
+    # round 4d).  For flat capacity at FULL precision use the scoped-
+    # VMEM budget lift instead (automatic since round 4d: flat f32 to
+    # ~1.47M particles).  Off by default; tolerance-checked workloads
+    # within the envelope only.  Flat path only.
+    xpbd_x_dtype: str = "float32"
+
     # Chebyshev semi-iterative acceleration for the jacobi dialect (Wang
     # 2015): accelerates constraint convergence dramatically on large
     # grids (e.g. 64x64 cloth) where plain Jacobi propagates ~1 cell per

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -49,6 +50,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 SUBBLOCKS = 8          # constraint blocks processed per grid step
+# scoped-VMEM budget for the sweep kernels (see _make_sweep_grouped);
+# overridable for smaller parts / experiments
+VMEM_LIMIT_BYTES = int(os.environ.get("SOFTBODYSIM_VMEM_LIMIT_MB",
+                                      "100")) * 2**20
 
 # Bump on ANY change to packing/ordering outputs (pack_constraints,
 # pack_superblocks, _pack_order, regroup_plan, order_vertices,
@@ -1051,7 +1056,10 @@ def _gather_super(xout_ref, wins, rel, S):
     slot_of = rel >> 7
     ax = ay = az = aw = jnp.zeros((8, LANES), jnp.float32)
     for t in range(S):
-        xw = xout_ref[:, pl.ds(wins[t] * LANES, LANES)]
+        # astype: identity on the f32 table; upcast on the opt-in bf16
+        # x-table (compute stays f32 everywhere)
+        xw = xout_ref[:, pl.ds(wins[t] * LANES, LANES)] \
+            .astype(jnp.float32)
         val = slot_of == t
         for c, acc in enumerate((ax, ay, az, aw)):
             row = jnp.broadcast_to(xw[c:c + 1, :], (8, LANES))
@@ -1073,7 +1081,8 @@ def _gather_xyz(xout_ref, wins, rel, S):
     slot_of = rel >> 7
     ax = ay = az = jnp.zeros((8, LANES), jnp.float32)
     for t in range(S):
-        xw = xout_ref[:, pl.ds(wins[t] * LANES, LANES)]
+        xw = xout_ref[:, pl.ds(wins[t] * LANES, LANES)] \
+            .astype(jnp.float32)
         val = slot_of == t
         for c in range(3):
             row = jnp.broadcast_to(xw[c:c + 1, :], (8, LANES))
@@ -1094,7 +1103,8 @@ def _gather_w(xref, wins, rel, S):
     aw = jnp.zeros((8, LANES), jnp.float32)
     for t in range(S):
         row = jnp.broadcast_to(
-            xref[3:4, pl.ds(wins[t] * LANES, LANES)], (8, LANES))
+            xref[3:4, pl.ds(wins[t] * LANES, LANES)]
+            .astype(jnp.float32), (8, LANES))
         g = jnp.take_along_axis(row, lane, axis=1)
         aw = jnp.where(slot_of == t, g, aw)
     return aw
@@ -1134,13 +1144,20 @@ def _w_fill_kernel(slots_ref, rel_ref, cnt_ref, xin_ref, wout_ref, *,
 
 
 def _scatter_super(xout_ref, w, accx, accy, accz):
-    """Sum (8,128) per-sublane contributions and RMW one window."""
+    """Sum (8,128) per-sublane contributions and RMW one window.
+
+    On the opt-in bf16 x-table the RMW upcasts, adds in f32, and
+    rounds back on store (the quantization the tolerance bound covers);
+    on the f32 table the casts are identities."""
     addx = jnp.sum(accx, axis=0, keepdims=True)
     addy = jnp.sum(accy, axis=0, keepdims=True)
     addz = jnp.sum(accz, axis=0, keepdims=True)
     xw = xout_ref[:, pl.ds(w * LANES, LANES)]
+    xf = xw[0:3].astype(jnp.float32)
     new = jnp.concatenate(
-        [xw[0:1] + addx, xw[1:2] + addy, xw[2:3] + addz, xw[3:8]], axis=0)
+        [(xf[0:1] + addx).astype(xw.dtype),
+         (xf[1:2] + addy).astype(xw.dtype),
+         (xf[2:3] + addz).astype(xw.dtype), xw[3:8]], axis=0)
     xout_ref[:, pl.ds(w * LANES, LANES)] = new
 
 
@@ -1218,8 +1235,8 @@ def _edge_kernel_super(alpha_ref, slots_ref, rel_ref, inv_ref, rest_ref,
                 if PROF[t] == 0:
                     continue
                 w8 = jnp.broadcast_to(
-                    xout_ref[3:4, pl.ds(wins[t] * LANES, LANES)],
-                    (8, LANES))
+                    xout_ref[3:4, pl.ds(wins[t] * LANES, LANES)]
+                    .astype(jnp.float32), (8, LANES))
                 accx = accy = accz = jnp.zeros((8, LANES), jnp.float32)
                 for l in range(PROF[t]):
                     row = (sb * sumd + off[t] + l) * 8
@@ -1330,8 +1347,8 @@ def _tet_kernel_super(alpha_ref, slots_ref, rel_ref, inv_ref, rest_ref,
                     continue
                 if MS:
                     w8 = jnp.broadcast_to(
-                        xout_ref[3:4, pl.ds(wins[t] * LANES, LANES)],
-                        (8, LANES))
+                        xout_ref[3:4, pl.ds(wins[t] * LANES, LANES)]
+                        .astype(jnp.float32), (8, LANES))
                 accs = [jnp.zeros((8, LANES), jnp.float32)
                         for _ in range(3)]
                 for l in range(PROF[t]):
@@ -1367,7 +1384,7 @@ def _make_sweep_grouped(plan: SuperPlan, num_windows: int, *,
                         interpret: bool = False,
                         per_constraint_alpha=None, ragged: bool = True,
                         scheme: str = "scale", omega: float = 1.0,
-                        local_iters: int = 1):
+                        local_iters: int = 1, x_dtype=jnp.float32):
     """Grouped build: one trimmed pallas_call per execution group.
 
     Groups run sequentially in block order, threading x8 -- exactly the
@@ -1391,6 +1408,23 @@ def _make_sweep_grouped(plan: SuperPlan, num_windows: int, *,
     """
     if scheme not in ("scale", "split"):
         raise ValueError(f"unknown block scheme {scheme!r}")
+    # Mosaic's default scoped-VMEM budget is a conservative 16 MB; v5e
+    # physically carries far more (measured: a 100 MB budget compiles and
+    # runs, lifting the flat x8 capacity to ~1.55M particles f32 / ~3.2M
+    # bf16 -- PLAN.md round 4d).  Demand-driven: small scenes keep the
+    # default (a blanket 100 MB budget measured ~7% slower at north-star
+    # scale -- the compiler trades pipeline buffers differently); big
+    # flat tables request the x8 operand pair + slack, capped at the
+    # measured ceiling.
+    xbytes = 8 * num_windows * LANES * jnp.dtype(x_dtype).itemsize
+    need = 2 * xbytes + 8 * 2**20
+    _cp = None
+    if need > 16 * 2**20:
+        lim = min(need, VMEM_LIMIT_BYTES)
+        try:
+            _cp = pltpu.CompilerParams(vmem_limit_bytes=lim)
+        except (TypeError, AttributeError):  # older pallas naming
+            _cp = pltpu.TPUCompilerParams(vmem_limit_bytes=lim)
     if ragged:
         plan = _slot_sort(plan)
     S, D, a = plan.nslots, plan.dmax, plan.arity
@@ -1474,10 +1508,11 @@ def _make_sweep_grouped(plan: SuperPlan, num_windows: int, *,
                 data_spec,
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((8, vpad), jnp.float32),
+                jax.ShapeDtypeStruct((8, vpad), x_dtype),
                 jax.ShapeDtypeStruct((nbg * 8, LANES), jnp.float32),
             ),
             interpret=interpret,
+            compiler_params=None if interpret else _cp,
         )
         fill = pl.pallas_call(
             functools.partial(_w_fill_kernel, S=Sg, GB=gb, ROLES=a),
@@ -1490,6 +1525,7 @@ def _make_sweep_grouped(plan: SuperPlan, num_windows: int, *,
             out_shape=jax.ShapeDtypeStruct((nbg * wrows, LANES),
                                            jnp.float32),
             interpret=interpret,
+            compiler_params=None if interpret else _cp,
         )
         calls.append(call)
         fills.append(fill)
@@ -1549,7 +1585,8 @@ def join_lambda(plan, stripes):
 
 def make_sweep(plan, num_windows: int, *, interpret: bool = False,
                per_constraint_alpha=None, scheme: str = "scale",
-               omega: float = 1.0, local_iters: int = 1):
+               omega: float = 1.0, local_iters: int = 1,
+               x_dtype=jnp.float32):
     """Build ``sweep(x8, lam_packed, alpha, tables) -> (x8, lam_packed)``.
 
     x8 is the (8, Vpad) particle table (rows 0-2 xyz, row 3 inverse mass);
@@ -1582,11 +1619,12 @@ def make_sweep(plan, num_windows: int, *, interpret: bool = False,
             return _make_sweep_grouped(
                 plan, num_windows, interpret=interpret,
                 per_constraint_alpha=per_constraint_alpha, scheme=scheme,
-                omega=omega, local_iters=local_iters)
+                omega=omega, local_iters=local_iters, x_dtype=x_dtype)
         g = _make_sweep_grouped(
             plan, num_windows, interpret=interpret,
             per_constraint_alpha=per_constraint_alpha, ragged=False,
-            scheme=scheme, omega=omega, local_iters=local_iters)
+            scheme=scheme, omega=omega, local_iters=local_iters,
+            x_dtype=x_dtype)
 
         def sweep(x8, lam_packed, alpha, tables):
             x8, (lam_o,) = g(x8, (lam_packed,), alpha, (tables,))
@@ -1601,10 +1639,12 @@ def make_sweep(plan, num_windows: int, *, interpret: bool = False,
         sweep.grouped = False
         return sweep
 
-    if scheme != "scale" or omega != 1.0 or local_iters != 1:
+    if scheme != "scale" or omega != 1.0 or local_iters != 1 \
+            or x_dtype != jnp.float32:
         raise ValueError("the legacy SweepPlan kernels support only the "
-                         "scale scheme (use superblocks=True for "
-                         "split/omega/local_iters)")
+                         "scale scheme on the f32 x-table (use "
+                         "superblocks=True for split/omega/local_iters/"
+                         "x_dtype)")
     S, DMAX = plan.nslots, plan.dmax
     vpad = num_windows * LANES
     nb = plan.num_blocks

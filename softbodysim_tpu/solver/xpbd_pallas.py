@@ -34,9 +34,13 @@ from .spatial import make_self_collision_fn
 
 LANES = 128
 
-# The flat path keeps the whole (8, Vpad) particle table VMEM-resident
-# (input/output aliased by XLA): ~16 MB of VMEM caps it at ~4000 windows
-# (~512k particles, measured: V=512000 runs, V=1.03M fails to compile).
+# The flat path keeps the whole (8, Vpad) particle table VMEM-resident.
+# Under Mosaic's DEFAULT 16 MB scoped-VMEM budget that capped at ~4000
+# windows (~512k particles); since round 4d the sweep kernels raise the
+# budget to the hardware's real capacity (sw.VMEM_LIMIT_BYTES, 100 MB
+# measured working on v5e), scaling the flat cap to ~1.47M particles f32
+# / ~2.9M bf16 (see the flat_cap computation in make_xpbd_pallas_step).
+# MAX_FLAT_WINDOWS remains the conservative floor.
 # Above the cap the step auto-switches to SEGMENTED execution (see
 # _build_seg_plan): windows are split into contiguous segments, each family
 # sweep runs one trimmed kernel chain per segment over (own + ghost
@@ -443,14 +447,37 @@ def make_xpbd_pallas_step(topology, params: SolverParams,
     has_edges = topology.num_edges > 0
     has_tets = topology.num_tets > 0
 
+    if params.xpbd_x_dtype == "float32":
+        x_dtype = jnp.float32
+    elif params.xpbd_x_dtype == "bfloat16":
+        x_dtype = jnp.bfloat16
+    else:
+        raise ValueError(
+            f"unknown xpbd_x_dtype {params.xpbd_x_dtype!r} "
+            "(float32|bfloat16)")
+    bf16 = x_dtype == jnp.bfloat16
     if seg_windows is None:
         est_nwin = -(-V // LANES)
+        # Flat capacity scales with the sweep kernels' scoped-VMEM budget
+        # (sw.VMEM_LIMIT_BYTES, default 100 MB -- PLAN.md round 4d): the
+        # x8 table is held twice (in + out operands), so budget 45% of
+        # the limit for it plus slack for the streamed block tables.
+        # bf16 halves the table and doubles the window count (~2.9M
+        # particles at the default budget vs ~1.47M f32).
+        xb = 8 * LANES * (2 if bf16 else 4)
+        flat_cap = max(MAX_FLAT_WINDOWS,
+                       int(0.45 * sw.VMEM_LIMIT_BYTES / xb))
         seg_windows = (DEFAULT_SEG_WINDOWS
-                       if superblocks and est_nwin > MAX_FLAT_WINDOWS
+                       if superblocks and est_nwin > flat_cap
                        else 0)
     if seg_windows and not superblocks:
         raise ValueError("segmented execution requires superblocks=True")
     segmented = bool(seg_windows)
+    if segmented and bf16:
+        raise ValueError(
+            "xpbd_x_dtype='bfloat16' is the FLAT-path capacity option; "
+            "the segmented path already lifts the VMEM ceiling at full "
+            "precision (leave xpbd_x_dtype at 'float32')")
 
     perm, old2new, nwin, e_plan, t_plan = _cached_plans(
         topology, vertex_order, slots_cap, layer_cap, superblocks,
@@ -473,7 +500,7 @@ def make_xpbd_pallas_step(topology, params: SolverParams,
             edge_sweep = sw.make_sweep(e_plan, nwin, interpret=interpret,
                                        per_constraint_alpha=edge_c,
                                        scheme=e_sch, omega=e_om,
-                                       local_iters=e_k)
+                                       local_iters=e_k, x_dtype=x_dtype)
     if has_tets:
         if segmented:
             tet_sweep = _make_seg_sweep(t_plan, interpret, tet_c,
@@ -485,7 +512,7 @@ def make_xpbd_pallas_step(topology, params: SolverParams,
             tet_sweep = sw.make_sweep(t_plan, nwin, interpret=interpret,
                                       per_constraint_alpha=tet_c,
                                       scheme=t_sch, omega=t_om,
-                                      local_iters=t_k)
+                                      local_iters=t_k, x_dtype=x_dtype)
     gravity = jnp.asarray(params.gravity, jnp.float32)
     fr = min(1.0, max(0.0, params.friction))
 
@@ -554,7 +581,7 @@ def make_xpbd_pallas_step(topology, params: SolverParams,
             [state.inv_mass, jnp.zeros((1,), jnp.float32)])[perm_j]
         x8 = jnp.concatenate(
             [rows3(state.x_star), w[None, :],
-             jnp.zeros((4, vpad), jnp.float32)], axis=0)
+             jnp.zeros((4, vpad), jnp.float32)], axis=0).astype(x_dtype)
         # grouped plans carry lambdas as per-group stripe tuples;
         # segmented plans as per-segment tuples of those
         def pack_l(plan, gids, lam):
@@ -584,7 +611,8 @@ def make_xpbd_pallas_step(topology, params: SolverParams,
             return sw.unpack_lambda(plan, sw.join_lambda(plan, lam_dev))
 
         return SimState(
-            x=unrows(xp), v=unrows(vv), x_star=unrows(x8[0:3]),
+            x=unrows(xp), v=unrows(vv),
+            x_star=unrows(x8[0:3].astype(jnp.float32)),
             inv_mass=state.inv_mass,
             edge_lambda=unpack_l(e_plan if has_edges else None, e_gids,
                                  lam_e, state.edge_lambda),
@@ -595,11 +623,16 @@ def make_xpbd_pallas_step(topology, params: SolverParams,
     # ---- substep pieces (all on row layout) ------------------------------
 
     def predict(x8, xp, vv, sdt):
-        """Semi-implicit Euler (Sim.cpp:178-185); pinned rows hold still."""
+        """Semi-implicit Euler (Sim.cpp:178-185); pinned rows hold still.
+        xp/vv stay f32 always; only the x8 working table rounds to the
+        opt-in bf16 dtype on write.  Returns the f32 prediction too: the
+        commit reconstructs positions as f32_prediction + (rounded table
+        delta) so sub-ulp integration increments never quantize away
+        (only the constraint/collision corrections round)."""
         free = x8[3:4] != 0.0
         vv = jnp.where(free, vv + gravity[:, None] * sdt, vv)
         xs = jnp.where(free, xp + vv * sdt, xp)
-        return x8.at[0:3].set(xs), vv
+        return x8.at[0:3].set(xs.astype(x8.dtype)), vv, xs
 
     def ground(x8):
         """Axis-aligned y clamp (Sim.cpp:187-195)."""
@@ -610,16 +643,31 @@ def make_xpbd_pallas_step(topology, params: SolverParams,
 
     def collide(x8, cols_rt):
         free = x8[3] != 0.0
-        p = x8[0:3].T
+        p = x8[0:3].T.astype(jnp.float32)
         pushed = collide_particles(
             p, 0.0, cols_rt if cols_rt is not None else colliders)
-        return x8.at[0:3].set(jnp.where(free, pushed.T, x8[0:3]))
+        return x8.at[0:3].set(
+            jnp.where(free, pushed.T, p.T).astype(x8.dtype))
 
-    def commit(x8, xp, vv, sdt):
-        """Velocity update + ground friction (Sim.cpp:197-222)."""
+    def commit(x8, xp, vv, sdt, xs_pred):
+        """Velocity update + ground friction (Sim.cpp:197-222).
+
+        bf16 x-table: the committed position is the f32 prediction plus
+        the table's correction DELTA (final - rounded prediction) -- the
+        two roundings share a grid so the base quantization cancels and
+        the f32 integrate path never stalls below the bf16 ulp (without
+        this the working table swallows sub-ulp integration increments
+        and free fall visibly lags -- measured, PLAN.md round 4d).  The
+        f32 table reads positions directly (a + (b - a) is not b in fp;
+        the oracle bit-parity contract stays untouched)."""
         inv_dt = jnp.where(sdt > 1e-12, 1.0 / sdt, 0.0)
         free = x8[3:4] != 0.0
-        xs = x8[0:3]
+        if bf16:
+            xs = xs_pred + (x8[0:3].astype(jnp.float32)
+                            - xs_pred.astype(x8.dtype)
+                            .astype(jnp.float32))
+        else:
+            xs = x8[0:3]
         vel = (xs - xp) * inv_dt
         if params.ground_enabled:
             on_g = xs[1] <= (params.ground_y + 1e-6)
@@ -629,12 +677,12 @@ def make_xpbd_pallas_step(topology, params: SolverParams,
             vel = jnp.stack([vx, vy, vz], axis=0)
         vv = jnp.where(free, vel, 0.0)
         xp = jnp.where(free, xs, xp)
-        return x8.at[0:3].set(xp), xp, vv
+        return x8.at[0:3].set(xp.astype(x8.dtype)), xp, vv
 
     def substep(carry, sdt, e_alpha, t_alpha, cols_rt, e_tabs, t_tabs,
                 iso_t):
         x8, xp, vv, lam_e, lam_t = carry
-        x8, vv = predict(x8, xp, vv, sdt)
+        x8, vv, xs_pred = predict(x8, xp, vv, sdt)
 
         def iteration(c, _):
             x8, lam_e, lam_t = c
@@ -649,18 +697,24 @@ def make_xpbd_pallas_step(topology, params: SolverParams,
             if self_collide is not None:
                 # live lanes have iso == 0; dead/pinned lanes (w == 0) are
                 # never written back
-                p = self_collide((x8[0:3] + iso_t).T, x8[3], sc_radius)
+                p = self_collide(
+                    (x8[0:3].astype(jnp.float32) + iso_t).T,
+                    x8[3].astype(jnp.float32), sc_radius)
                 x8 = x8.at[0:3].set(
-                    jnp.where(x8[3] != 0.0, p.T, x8[0:3]))
+                    jnp.where(x8[3] != 0.0, p.T.astype(x8.dtype),
+                              x8[0:3]))
             if surf_collide is not None:
-                p = surf_collide((x8[0:3] + iso_t).T, x8[3])
+                p = surf_collide(
+                    (x8[0:3].astype(jnp.float32) + iso_t).T,
+                    x8[3].astype(jnp.float32))
                 x8 = x8.at[0:3].set(
-                    jnp.where(x8[3] != 0.0, p.T, x8[0:3]))
+                    jnp.where(x8[3] != 0.0, p.T.astype(x8.dtype),
+                              x8[0:3]))
             return (x8, lam_e, lam_t), None
 
         (x8, lam_e, lam_t), _ = jax.lax.scan(
             iteration, (x8, lam_e, lam_t), None, length=params.iterations)
-        x8, xp, vv = commit(x8, xp, vv, sdt)
+        x8, xp, vv = commit(x8, xp, vv, sdt, xs_pred)
         return (x8, xp, vv, lam_e, lam_t)
 
     def _run_rows(carry, dt, n, ec, vc, cols_rt, e_tabs, t_tabs, iso_t):

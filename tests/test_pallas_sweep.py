@@ -8,6 +8,7 @@ between tests via a module-level cache.
 import functools
 
 import numpy as np
+import pytest
 import jax
 
 from softbodysim_tpu import SolverParams
@@ -258,3 +259,37 @@ def test_auto_resolves_to_tuned_split():
     assert step.block_scheme == {"scheme": ("split", "split"),
                                  "omega": (1.5, 2.2),
                                  "local_iters": (1, 1)}
+
+
+def test_bf16_x_table_tolerance_bound():
+    """Opt-in bf16 x-table (the flat-path VMEM capacity option, PLAN.md
+    round 4d): compute stays f32, only the working position table
+    rounds, so the trajectory must track the f32 path within a bf16
+    quantization bound while remaining physically sane."""
+    topo = meshes.tet_cube(4, 4, 4, size=0.5, center=(0.0, 0.6, 0.0))
+    params = SolverParams(dialect="xpbd", substeps=2, iterations=3)
+    a = make_xpbd_pallas_step(topo, params, interpret=True)
+    b = make_xpbd_pallas_step(
+        topo, params.replace(xpbd_x_dtype="bfloat16"), interpret=True)
+    sa = init_state(topo)
+    sb = init_state(topo)
+    for _ in range(6):
+        sa = a(sa, DT)
+        sb = b(sb, DT)
+    xa, xb = np.asarray(sa.x), np.asarray(sb.x)
+    assert np.isfinite(xb).all()
+    # bf16 rounds positions at ~0.4% relative per substep commit; over
+    # 6 steps x 2 substeps the deviation stays in the few-mm class on a
+    # ~1 m scene -- loose physical bound, NOT parity
+    assert np.abs(xb - xa).max() < 0.05
+    # and the quantization is actually present (bf16 really engaged)
+    assert np.abs(xb - xa).max() > 1e-7
+
+
+def test_bf16_rejects_segmented():
+    topo = meshes.tet_cube(3, 3, 3, size=0.5)
+    with pytest.raises(ValueError):
+        make_xpbd_pallas_step(
+            topo, SolverParams(dialect="xpbd",
+                               xpbd_x_dtype="bfloat16"),
+            interpret=True, seg_windows=2)
