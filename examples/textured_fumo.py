@@ -35,13 +35,14 @@ OBJ = "/root/reference/Assets/Models/cirno_low.obj"
 
 
 def main(out="fumo_textured.html", steps=120):
+    steps = int(steps)
     rv, rf, ruv = load_obj_uv(OBJ)
     # normalize to ~1 m tall above the ground
     rv = rv - rv.min(0)
     rv = rv / max(1e-9, rv[:, 1].max())
     rv[:, 1] += 0.45
 
-    topo = topology_from_mesh(rv, rf, resolution=12)
+    topo = topology_from_mesh(rv, rf, resolution=16)
     print(f"sim mesh: V={topo.num_particles} E={topo.num_edges} "
           f"T={topo.num_tets}; render verts={len(rv)}")
     emb, skin = embed_topology(rv, rf, topo)
