@@ -154,9 +154,10 @@ class SolverParams:
     xpbd_block_omega: Any = 1.0
     # within-block re-iterations per block visit (block data is VMEM-
     # resident, so revisits cost only gathers + VPU compute, no
-    # streaming).  Scalar, or an (edge, tet) pair -- at scale the edge
-    # family converges serial-class without revisits (PLAN.md round 3d),
-    # so the tuned defaults revisit only tets.
+    # streaming).  Scalar, or an (edge, tet) pair.  The tuned 'auto'
+    # defaults use NO revisits for either family (k=(1,1)): at scale the
+    # tet family reaches 0.80x serial residual from split + omega=2.2
+    # alone, and a tet revisit costs ~1.54x runtime (PLAN.md round 4a).
     xpbd_block_local_iters: Any = 1
 
     # x-table precision on the Pallas sweep backend: "float32" (default)

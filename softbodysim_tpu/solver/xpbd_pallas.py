@@ -277,7 +277,8 @@ def _cached_plans(topology, vertex_order, slots_cap, layer_cap,
     return result
 
 
-def _resolve_block_scheme(params: SolverParams, sharded: bool = False):
+def _resolve_block_scheme(params: SolverParams, sharded: bool = False,
+                          legacy: bool = False):
     """Per-family block-scheme config from the params knobs.
 
     Returns {"edge": (scheme, omega, k), "tet": (scheme, omega, k)}.
@@ -295,7 +296,11 @@ def _resolve_block_scheme(params: SolverParams, sharded: bool = False):
     ``sharded``: the window-sharded Pallas path splits blocks across
     devices, so within-block multiplicity counts would need cross-device
     folding -- not designed yet; 'auto' stays on the legacy scale scheme
-    there (explicit split raises in the sharded builder)."""
+    there (explicit split raises in the sharded builder).
+
+    ``legacy``: the superblocks=False SweepPlan kernels support only the
+    scale scheme; 'auto' resolves to it there so the opt-out path keeps
+    working out of the box (explicit split raises in make_sweep)."""
 
     def pair(v, cast):
         if isinstance(v, (tuple, list)):
@@ -308,7 +313,7 @@ def _resolve_block_scheme(params: SolverParams, sharded: bool = False):
     ke, kt = pair(params.xpbd_block_local_iters, lambda x: max(1, int(x)))
     om_default = not isinstance(params.xpbd_block_omega, (tuple, list)) \
         and float(params.xpbd_block_omega) == 1.0
-    auto = "scale" if sharded else "split"
+    auto = "scale" if (sharded or legacy) else "split"
     if se == "auto":
         se = auto
         if se == "split" and om_default:
@@ -459,14 +464,17 @@ def make_xpbd_pallas_step(topology, params: SolverParams,
     if seg_windows is None:
         est_nwin = -(-V // LANES)
         # Flat capacity scales with the sweep kernels' scoped-VMEM budget
-        # (sw.VMEM_LIMIT_BYTES, default 100 MB -- PLAN.md round 4d): the
-        # x8 table is held twice (in + out operands), so budget 45% of
-        # the limit for it plus slack for the streamed block tables.
-        # bf16 halves the table and doubles the window count (~2.9M
-        # particles at the default budget vs ~1.47M f32).
+        # (sw.VMEM_LIMIT_BYTES, default 100 MB -- PLAN.md round 4d).  The
+        # kernel builder requests min(2*xbytes + 8 MB, VMEM_LIMIT_BYTES)
+        # (sweep.py _make_sweep_grouped): cap windows by the SAME formula
+        # so the request never exceeds the granted budget (2*xbytes + 8 MB
+        # <= limit), else a max-flat-size scene could fail Mosaic
+        # allocation instead of auto-segmenting.  bf16 halves the table
+        # and doubles the window count (~2.9M particles at the default
+        # budget vs ~1.5M f32).
         xb = 8 * LANES * (2 if bf16 else 4)
         flat_cap = max(MAX_FLAT_WINDOWS,
-                       int(0.45 * sw.VMEM_LIMIT_BYTES / xb))
+                       (sw.VMEM_LIMIT_BYTES - 8 * 2**20) // (2 * xb))
         seg_windows = (DEFAULT_SEG_WINDOWS
                        if superblocks and est_nwin > flat_cap
                        else 0)
@@ -484,7 +492,7 @@ def make_xpbd_pallas_step(topology, params: SolverParams,
         seg_windows)
     vpad = nwin * LANES
 
-    fam_scheme = _resolve_block_scheme(params)
+    fam_scheme = _resolve_block_scheme(params, legacy=not superblocks)
     e_sch, e_om, e_k = fam_scheme["edge"]
     t_sch, t_om, t_k = fam_scheme["tet"]
     edge_sweep = tet_sweep = None

@@ -254,20 +254,28 @@ class XpbdOracle:
         gb = np.cross(pc - pa, pd - pa) * sixth
         gc = np.cross(pd - pa, pb - pa) * sixth
         gd = np.cross(pb - pa, pc - pa) * sixth
-        wsum = (wa * (ga * ga).sum(-1) + wb * (gb * gb).sum(-1)
-                + wc * (gc * gc).sum(-1) + wd * (gd * gd).sum(-1)).astype(F)
-        valid = ((wa + wb + wc + wd) != 0.0) & (wsum >= 1e-20)
         vol = (np.cross(pb - pa, pc - pa) * (pd - pa)).sum(-1) * sixth
         cfn = vol.astype(F) - self.tet_rest[ids]
         lam = self.tet_lambda[ids]
         if scheme == "split":
+            # The kernel's streamed w tables are count-inflated under
+            # split (block_counts fold into the w-fill), so BOTH its
+            # wsum denominator and its 1e-20 validity test see the
+            # inflated sum -- mirror that here (kernels/sweep.py tet
+            # kernel `valid`), else a near-degenerate tet in the
+            # ~[1e-20/c, 1e-20) window diverges between kernel and
+            # replay.
             cnt = self._block_counts(ids, self.tets)
-            denom = (cnt[:, 0] * wa * (ga * ga).sum(-1)
-                     + cnt[:, 1] * wb * (gb * gb).sum(-1)
-                     + cnt[:, 2] * wc * (gc * gc).sum(-1)
-                     + cnt[:, 3] * wd * (gd * gd).sum(-1)).astype(F) + alpha
+            wsum = (cnt[:, 0] * wa * (ga * ga).sum(-1)
+                    + cnt[:, 1] * wb * (gb * gb).sum(-1)
+                    + cnt[:, 2] * wc * (gc * gc).sum(-1)
+                    + cnt[:, 3] * wd * (gd * gd).sum(-1)).astype(F)
         else:
-            denom = wsum + alpha
+            wsum = (wa * (ga * ga).sum(-1) + wb * (gb * gb).sum(-1)
+                    + wc * (gc * gc).sum(-1)
+                    + wd * (gd * gd).sum(-1)).astype(F)
+        valid = ((wa + wb + wc + wd) != 0.0) & (wsum >= 1e-20)
+        denom = wsum + alpha
         dlam = np.where(valid, (-cfn - alpha * lam)
                         / np.where(denom == 0.0, F(1.0), denom), F(0.0))
         if scheme != "split" and scale is not None:

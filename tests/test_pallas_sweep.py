@@ -261,6 +261,33 @@ def test_auto_resolves_to_tuned_split():
                                  "local_iters": (1, 1)}
 
 
+def test_legacy_superblocks_off_auto_resolves_to_scale():
+    """superblocks=False (legacy 128-constraint SweepPlan kernels) with
+    DEFAULT params must keep working: 'auto' resolves to the scale
+    scheme there, since the legacy kernels reject split/omega/revisits
+    (round-4 ADVICE medium).  Explicit split still raises."""
+    topo = meshes.tet_cube(3, 3, 3, size=0.5, center=(0.0, 0.4, 0.0))
+    params = SolverParams(dialect="xpbd", substeps=1, iterations=2)
+    step = make_xpbd_pallas_step(topo, params, interpret=True,
+                                 superblocks=False)
+    assert step.block_scheme == {"scheme": ("scale", "scale"),
+                                 "omega": (1.0, 1.0),
+                                 "local_iters": (1, 1)}
+    jitted = jax.jit(lambda s: step(s, DT))
+    state = init_state(topo)
+    oracle = XpbdOracle(topo, params)
+    eb = _blocks(step.block_order["edges"])
+    tb = _blocks(step.block_order["tets"])
+    for _ in range(3):
+        state = jitted(state)
+        oracle.step_blocks(DT, edge_blocks=eb, tet_blocks=tb)
+    np.testing.assert_allclose(np.asarray(state.x), oracle.x, atol=1e-4)
+    with pytest.raises(ValueError):
+        make_xpbd_pallas_step(
+            topo, params.replace(xpbd_block_scheme="split"),
+            interpret=True, superblocks=False)
+
+
 def test_bf16_x_table_tolerance_bound():
     """Opt-in bf16 x-table (the flat-path VMEM capacity option, PLAN.md
     round 4d): compute stays f32, only the working position table
