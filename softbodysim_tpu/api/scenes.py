@@ -143,6 +143,123 @@ class Scene:
                      **solver_kw)
         return eng, voffs
 
+    def build_partitioned(self, backend: str = "pallas"
+                          ) -> "PartitionedSceneEngine":
+        """Heterogeneous worlds without the per-body slow lane: partition
+        bodies into the FEWEST merged programs.
+
+        ``build_merged`` requires one uniform parameter set (apart from
+        stiffness) across the whole scene; a mixed-dialect or otherwise
+        parameter-mixed world previously fell back to the per-body World
+        loop (N dispatches of N small programs -- the ~20x slow lane of
+        PLAN.md round 1's strategy table).  Here bodies are grouped by
+        merge-compatibility -- dialect + all SolverParams fields except the
+        per-constraint-mergeable material stiffness/compliance, plus
+        density -- and each group becomes ONE merged mesh on the
+        single-scene fast path (two dialects => two programs, regardless
+        of body count or mesh uniqueness).  Bodies with per-body options
+        beyond density/pinned run as singleton engines, preserving exact
+        per-body semantics.
+
+        Reference analog: SoftBodyManager steps every body separately
+        (SoftBodyManager.cs:217-233); this is the TPU-native replacement
+        for scenes the single merged program cannot express.
+        """
+        if not self.bodies:
+            raise ValueError(f"scene {self.name} has no bodies")
+        cols = Colliders.build(self.colliders) if self.colliders else None
+
+        def matkeys(p: SolverParams):
+            return (("edge_stiffness", "volume_stiffness")
+                    if p.dialect == "jacobi"
+                    else ("edge_compliance", "volume_compliance"))
+
+        def norm(p: SolverParams):
+            kf = matkeys(p)
+            return p.replace(**{kf[0]: 0.0, kf[1]: 0.0})
+
+        # Greedy stable partition: first-fit by (normalized params,
+        # density) equality; kwargs beyond density/pinned force a
+        # singleton partition.
+        parts: List[dict] = []
+        for body in self.bodies:
+            name, topo, params, kw = body
+            solo = bool(set(kw) - {"density", "pinned"})
+            if not solo:
+                key = (norm(params), kw.get("density", 1.0))
+                hit = next((q for q in parts
+                            if not q["solo"] and q["key"] == key), None)
+                if hit is not None:
+                    hit["bodies"].append(body)
+                    continue
+                parts.append({"solo": False, "key": key, "bodies": [body]})
+            else:
+                parts.append({"solo": True, "key": None, "bodies": [body]})
+
+        from .engine import Engine
+
+        entries = []
+        for q in parts:
+            bodies = q["bodies"]
+            if q["solo"] or len(bodies) == 1:
+                name, topo, params, kw = bodies[0]
+                bk = ("jacobi_backend" if params.dialect == "jacobi"
+                      else "xpbd_backend")
+                eng = Engine(topo, params.replace(**{bk: backend}),
+                             colliders=cols, **kw)
+                entries.append((eng, [name], None))
+            else:
+                sub = Scene(name=f"{self.name}/part{len(entries)}",
+                            bodies=bodies, colliders=self.colliders,
+                            substeps=self.substeps,
+                            iterations=self.iterations)
+                eng, voffs = sub.build_merged(backend=backend)
+                entries.append((eng, [b[0] for b in bodies], voffs))
+        return PartitionedSceneEngine(entries)
+
+
+class PartitionedSceneEngine:
+    """A scene as a small set of merged engines (see build_partitioned).
+
+    step() dispatches every partition's jitted program before blocking on
+    any of them, so XLA overlaps partitions on-device the way the grouped
+    engine overlaps families."""
+
+    def __init__(self, entries):
+        # entries: [(engine, [body names], voffs-or-None)]
+        self.entries = entries
+
+    @property
+    def num_programs(self) -> int:
+        return len(self.entries)
+
+    def step(self, dt: float = 1.0 / 60.0) -> "PartitionedSceneEngine":
+        for eng, _, _ in self.entries:
+            eng.step(dt)
+        return self
+
+    def run(self, n: int, dt: float = 1.0 / 60.0):
+        for _ in range(n):
+            self.step(dt)
+        return self.block()
+
+    def block(self) -> "PartitionedSceneEngine":
+        for eng, _, _ in self.entries:
+            eng.block()
+        return self
+
+    def positions(self):
+        """{body name: (V,3) world positions} across all partitions."""
+        out = {}
+        for eng, names, voffs in self.entries:
+            pos = eng.positions()
+            if voffs is None:
+                out[names[0]] = pos
+            else:
+                for i, nm in enumerate(names):
+                    out[nm] = pos[voffs[i]:voffs[i + 1]]
+        return out
+
 
 def _asset(name: str) -> Optional[Topology]:
     from ..io.unity_assets import load_tet_asset

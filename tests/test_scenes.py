@@ -149,3 +149,61 @@ def test_merged_rejects_nonstiffness_param_mix():
         ("a", t, _params(), {}), ("b", t, _params(omega=1.0), {})])
     with pytest.raises(ValueError):
         scene.build_merged()
+
+
+def test_partitioned_mixed_dialect_matches_separate():
+    """A mixed-dialect all-unique-mesh world partitions into exactly TWO
+    merged programs (one per dialect; stiffness differences merge as
+    per-constraint tables) and each body tracks its solo engine."""
+    import numpy as np
+    from softbodysim_tpu import Engine, SolverParams
+    from softbodysim_tpu.api.scenes import Scene, _params
+    from softbodysim_tpu.core import meshes
+
+    tj1 = meshes.tet_cube(2, 2, 2, size=0.4, center=(-0.9, 0.6, 0.0))
+    tj2 = meshes.tet_cube(3, 2, 2, size=0.4, center=(0.0, 0.6, 0.0))
+    tx1 = meshes.tet_cube(2, 3, 2, size=0.4, center=(0.9, 0.6, 0.0))
+    pj1 = _params(edge=0.9, vol=0.98)
+    pj2 = _params(edge=0.3, vol=0.5)
+    px = SolverParams(dialect="xpbd", substeps=2, iterations=6)
+    scene = Scene(name="mix", colliders=[], bodies=[
+        ("j1", tj1, pj1, {}), ("x1", tx1, px, {}), ("j2", tj2, pj2, {})])
+    part = scene.build_partitioned(backend="gather")
+    assert part.num_programs == 2
+    solos = {
+        "j1": Engine(tj1, pj1.replace(jacobi_backend="gather")),
+        "j2": Engine(tj2, pj2.replace(jacobi_backend="gather")),
+        "x1": Engine(tx1, px.replace(xpbd_backend="gather")),
+    }
+    for _ in range(15):
+        part.step(1 / 60)
+        for s in solos.values():
+            s.step(1 / 60)
+    pos = part.positions()
+    assert set(pos) == {"j1", "j2", "x1"}
+    for nm, solo in solos.items():
+        np.testing.assert_allclose(pos[nm], solo.positions(), atol=2e-5)
+
+
+def test_partitioned_solo_kwargs_body():
+    """Bodies with per-body options beyond density/pinned become singleton
+    engines with exact per-body semantics."""
+    from softbodysim_tpu.api.scenes import Scene, _params
+    from softbodysim_tpu.core import meshes
+
+    t1 = meshes.tet_cube(2, 2, 2, size=0.4, center=(-0.6, 0.6, 0.0))
+    t2 = meshes.tet_cube(2, 2, 2, size=0.4, center=(0.6, 0.6, 0.0))
+    p = _params()
+    scene = Scene(name="solo", colliders=[], bodies=[
+        ("plain", t1, p, {}),
+        ("pinned_top", t2, p, {"pin_top_layer": True})])
+    part = scene.build_partitioned(backend="gather")
+    assert part.num_programs == 2
+    part.run(10, 1 / 60)
+    pos = part.positions()
+    # the pin_top_layer body's top layer held still
+    top = t2.vertices[:, 1] >= t2.vertices[:, 1].max() - 1e-6
+    import numpy as np
+    np.testing.assert_allclose(pos["pinned_top"][top],
+                               t2.vertices[top], atol=1e-6)
+    assert pos["plain"][:, 1].min() < t1.vertices[:, 1].min() - 1e-3
