@@ -543,7 +543,8 @@ def make_xpbd_sharded_step(topology: Topology, params: SolverParams,
 
 def make_vertex_sharded_step(topology: Topology, params: SolverParams,
                              mesh: Mesh, axis: str = "model",
-                             colliders: Optional[Colliders] = None):
+                             colliders: Optional[Colliders] = None,
+                             halo: str = "auto"):
     """Vertex-sharded single-scene jacobi step: the big-scene scaling mode.
 
     Unlike the constraint-parallel step (positions replicated, deltas
@@ -551,10 +552,26 @@ def make_vertex_sharded_step(topology: Topology, params: SolverParams,
     contiguous vertex block (grid/RCM order keeps blocks local), holds that
     block's rows of the padded adjacency, and runs every per-particle stage
     (predict, gather-sweeps, apply, collide, commit) on its block only.
-    The one collective per constraint sweep is an ``all_gather`` of the
-    positions (tiled ring over ICI on real hardware) so neighbor lookups
-    can cross block boundaries.  Memory per device scales 1/P -- this is
-    the mode for scenes that do not fit one chip.
+    Memory per device scales 1/P -- this is the mode for scenes that do
+    not fit one chip.
+
+    ``halo`` selects the per-sweep collective (the jacobi gather only
+    READS neighbor positions and writes its own rows, so unlike the xpbd
+    colored-GS halo no delta return trip is needed):
+
+    - ``"auto"``: O(boundary) ghost exchange.  Each device's ghost set is
+      the non-owned vertices its adjacency rows / local tets reference;
+      with a banded vertex order (grid / RCM) every ghost lives on the
+      +-1 neighbor slab and each sweep costs two ``ppermute`` strips of
+      O(boundary-layer) bytes -- independent of P and V; otherwise a
+      strip ``all_gather`` of only the exported boundary vertices.
+      ``step.comm_bytes_per_sweep`` reports the realized cost,
+      ``step.comm_bytes_full_gather`` the O(V) alternative.
+    - ``"general"``: force the strip-all_gather form (testing).
+    - ``"off"``: the legacy full-position ``all_gather`` per sweep.
+
+    The fetched neighbor values are identical in every mode, so the
+    trajectory is bitwise the same program math either way.
 
     Returns ``step(state, dt) -> state`` over a padded-V state; use
     ``step.build_state()`` / ``step.unpad(x)`` for construction and
@@ -644,7 +661,114 @@ def make_vertex_sharded_step(topology: Topology, params: SolverParams,
     omega = jnp.float32(params.sor_omega)
     has_edges = topology.num_edges > 0
 
-    eo_j = jnp.asarray(e_other)
+    # ---- halo exchange tables (see docstring) -----------------------------
+    if halo not in ("auto", "general", "off"):
+        raise ValueError(f"halo must be auto|general|off, got {halo!r}")
+    halo_on = halo != "off" and npd > 1
+    neighbor_mode = False
+    comm_bytes_per_sweep = vpad * 3 * 4          # full-gather default
+    if halo_on:
+        _owner = lambda v: min(v // vb, npd - 1)
+        ghost_sets = []
+        for d in range(npd):
+            lo, hi = d * vb, (d + 1) * vb
+            refs = [np.zeros((0,), np.int64)]
+            rows = slice(lo, hi)
+            if has_edges:
+                refs.append(np.unique(
+                    e_other[rows][e_mask[rows]].astype(np.int64)))
+            if has_tets and len(locals_[d]):
+                refs.append(np.unique(
+                    topology.tets[locals_[d]].astype(np.int64).ravel()))
+            u = np.unique(np.concatenate(refs))
+            ghost_sets.append(u[(u < lo) | (u >= hi)])
+        h = max(1, max(len(g) for g in ghost_sets))
+
+        def loc_of(d, g):
+            """Global ids -> device-local ext-table rows (own then ghost)."""
+            g = np.asarray(g, np.int64)
+            own = (g >= d * vb) & (g < (d + 1) * vb)
+            gi = np.searchsorted(ghost_sets[d], np.where(own, 0, g))
+            return np.where(own, g - d * vb, vb + gi).astype(np.int32)
+
+        eo_loc = np.zeros((vpad, de), np.int32)
+        for d in range(npd):
+            rows = slice(d * vb, (d + 1) * vb)
+            eo_loc[rows] = np.where(e_mask[rows],
+                                    loc_of(d, e_other[rows]), 0)
+        tl_loc = None
+        if has_tets:
+            tl_loc = np.zeros((npd, td_max, 4), np.int32)
+            for d in range(npd):
+                if len(locals_[d]):
+                    tl_loc[d, :len(locals_[d])] = loc_of(
+                        d, topology.tets[locals_[d]])
+        ghost_gid = np.zeros((npd, h), np.int64)
+        for d in range(npd):
+            ghost_gid[d, :len(ghost_sets[d])] = ghost_sets[d]
+        ghost_gid_j = jnp.asarray(ghost_gid.astype(np.int32))
+
+        neighbor_mode = halo != "general" and all(
+            _owner(int(v)) in (d - 1, d + 1)
+            for d in range(npd) for v in ghost_sets[d])
+        if neighbor_mode:
+            send_up, send_dn = [], []   # my owned verts needed by d+1 / d-1
+            for d in range(npd):
+                up = (ghost_sets[d + 1][
+                    (ghost_sets[d + 1] >= d * vb)
+                    & (ghost_sets[d + 1] < (d + 1) * vb)]
+                    if d + 1 < npd else np.zeros((0,), np.int64))
+                dn = (ghost_sets[d - 1][
+                    (ghost_sets[d - 1] >= d * vb)
+                    & (ghost_sets[d - 1] < (d + 1) * vb)]
+                    if d - 1 >= 0 else np.zeros((0,), np.int64))
+                send_up.append(up)
+                send_dn.append(dn)
+            su = max(1, max(len(u) for u in send_up))
+            sd = max(1, max(len(u) for u in send_dn))
+            send_up_idx = np.zeros((npd, su), np.int32)
+            send_dn_idx = np.zeros((npd, sd), np.int32)
+            g_from_below = np.zeros((npd, h), bool)
+            g_slot = np.zeros((npd, h), np.int32)
+            for d in range(npd):
+                send_up_idx[d, :len(send_up[d])] = send_up[d] - d * vb
+                send_dn_idx[d, :len(send_dn[d])] = send_dn[d] - d * vb
+                for i, v in enumerate(ghost_sets[d]):
+                    o = _owner(int(v))
+                    if o == d - 1:
+                        g_from_below[d, i] = True
+                        g_slot[d, i] = int(np.searchsorted(send_up[o], v))
+                    else:
+                        g_slot[d, i] = int(np.searchsorted(send_dn[o], v))
+            hnbr = dict(
+                send_up=jnp.asarray(send_up_idx),
+                send_dn=jnp.asarray(send_dn_idx),
+                from_below=jnp.asarray(g_from_below),
+                slot=jnp.asarray(g_slot))
+            h_up_perm = [(d, d + 1) for d in range(npd - 1)]
+            h_dn_perm = [(d, d - 1) for d in range(1, npd)]
+            comm_bytes_per_sweep = int((su + sd) * 3 * 4)
+        else:
+            exports = []
+            for d in range(npd):
+                need = [g[(g >= d * vb) & (g < (d + 1) * vb)]
+                        for dd, g in enumerate(ghost_sets) if dd != d]
+                exports.append(np.unique(np.concatenate(need))
+                               if need else np.zeros((0,), np.int64))
+            hexp = max(1, max(len(x) for x in exports))
+            exp_idx = np.zeros((npd, hexp), np.int32)
+            ghost_src = np.zeros((npd, h), np.int32)
+            for d in range(npd):
+                exp_idx[d, :len(exports[d])] = exports[d] - d * vb
+                for i, v in enumerate(ghost_sets[d]):
+                    o = _owner(int(v))
+                    ghost_src[d, i] = o * hexp + int(
+                        np.searchsorted(exports[o], v))
+            hexp_j = jnp.asarray(exp_idx)
+            hgsrc_j = jnp.asarray(ghost_src)
+            comm_bytes_per_sweep = int(npd * hexp * 3 * 4)
+
+    eo_j = jnp.asarray(eo_loc if halo_on else e_other)
     er_j = jnp.asarray(e_rest_p)
     em_j = jnp.asarray(e_mask)
 
@@ -684,14 +808,39 @@ def make_vertex_sharded_step(topology: Topology, params: SolverParams,
             return jax.lax.all_gather(x, axis, tiled=True)
 
         w_full = gather_full(w_loc)
+        if halo_on:
+            me = jax.lax.axis_index(axis)
+            # inverse masses are step-invariant: one ghost fill per program
+            w_ext = jnp.concatenate([w_loc, w_full[ghost_gid_j[me]]])
+
+            def ext_table(x_loc_):
+                """Own rows + O(boundary) ghost strip (vs O(V) gather)."""
+                if neighbor_mode:
+                    up = jax.lax.ppermute(
+                        x_loc_[hnbr["send_up"][me]], axis, h_up_perm)
+                    dn = jax.lax.ppermute(
+                        x_loc_[hnbr["send_dn"][me]], axis, h_dn_perm)
+                    fb = hnbr["from_below"][me]
+                    sl_ = hnbr["slot"][me]
+                    ghost = jnp.where(
+                        fb[:, None],
+                        up[jnp.clip(sl_, 0, up.shape[0] - 1)],
+                        dn[jnp.clip(sl_, 0, dn.shape[0] - 1)])
+                else:
+                    gath = jax.lax.all_gather(x_loc_[hexp_j[me]], axis)
+                    ghost = gath.reshape(-1, 3)[hgsrc_j[me]]
+                return jnp.concatenate([x_loc_, ghost], 0)
+        else:
+            w_ext = w_full
+            ext_table = gather_full
 
         def iteration(x_pred_loc, _):
-            x_full = gather_full(x_pred_loc)
+            x_full = ext_table(x_pred_loc)
             if has_edges:
-                # local rows with global neighbor lookups
+                # local rows with (ext-local | global) neighbor lookups
                 xj = x_full[eo]
                 wi = w_loc[:, None]
-                wj = w_full[eo]
+                wj = w_ext[eo]
                 wsum = wi + wj
                 dvec = x_pred_loc[:, None, :] - xj
                 ln2 = jnp.sum(dvec * dvec, -1)
@@ -706,9 +855,9 @@ def make_vertex_sharded_step(topology: Topology, params: SolverParams,
                 cnt = jnp.sum(valid, 1, dtype=jnp.int32)
                 x_pred_loc = _apply(x_pred_loc, w_loc, delta, cnt, omega)
             if has_tets:
-                x_full2 = gather_full(x_pred_loc)
+                x_full2 = ext_table(x_pred_loc)
                 delta, cnt = local_tet_deltas(
-                    x_full2, w_full, w_loc, tl, tr, sl, til, tm)
+                    x_full2, w_ext, w_loc, tl, tr, sl, til, tm)
                 x_pred_loc = _apply(x_pred_loc, w_loc, delta, cnt, omega)
             if params.ground_enabled:
                 pw = project_ground_plane(
@@ -763,7 +912,8 @@ def make_vertex_sharded_step(topology: Topology, params: SolverParams,
     in_specs = (vspec, vspec, vspec, vspec, vspec, vspec,
                 P(axis), P(axis), P(axis), vspec, P(axis), P())
     if has_tets:
-        extra = (t_local_tets, t_local_rest, t_slot_l, t_mask_j, t_tidx_l)
+        extra = (jnp.asarray(tl_loc) if halo_on else t_local_tets,
+                 t_local_rest, t_slot_l, t_mask_j, t_tidx_l)
     else:
         zt = jnp.zeros((npd, 1, 4), jnp.int32)
         zr = jnp.zeros((npd, 1), jnp.float32)
@@ -801,6 +951,10 @@ def make_vertex_sharded_step(topology: Topology, params: SolverParams,
     step.build_state = build_state
     step.unpad = lambda arr: np.asarray(arr)[:nv]
     step.vpad = vpad
+    step.halo_mode = ("neighbor" if neighbor_mode
+                      else "general" if halo_on else "off")
+    step.comm_bytes_per_sweep = comm_bytes_per_sweep
+    step.comm_bytes_full_gather = vpad * 3 * 4
     del w0
     return step
 

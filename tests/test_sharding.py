@@ -144,6 +144,73 @@ def test_vertex_sharded_cloth(topo):
                                atol=1e-5)
 
 
+def test_vertex_sharded_halo_neighbor_mode():
+    """Banded vertex order (tet_cube is z-major) -> every ghost lives on
+    the +-1 slab and the vertex-sharded step exchanges ppermute strips of
+    O(boundary) bytes instead of the O(V) full all_gather; trajectory
+    matches the single-device engine (same fetched values, same math)."""
+    from softbodysim_tpu import Engine
+    from softbodysim_tpu.parallel import make_vertex_sharded_step
+
+    t = meshes.tet_cube(12, 4, 4, size=1.0, center=(0.0, 0.8, 0.0))
+    params = SolverParams(dialect="jacobi", substeps=2, iterations=3,
+                          use_pallas="off")
+    mesh = make_mesh(shape=(8,), axis_names=("model",))
+    step = make_vertex_sharded_step(t, params, mesh)
+    assert step.halo_mode == "neighbor"
+    assert step.comm_bytes_per_sweep < step.comm_bytes_full_gather / 2
+    st = step.build_state()
+    jstep = jax.jit(step)
+    ref = Engine(t, params)
+    for _ in range(15):
+        st = jstep(st, DT)
+        ref.step(DT)
+    np.testing.assert_allclose(step.unpad(st[0]), ref.positions(),
+                               atol=1e-5)
+
+
+def test_vertex_sharded_halo_general_mode():
+    """Forced strip-all_gather form (and the auto fallback for non-banded
+    orders, e.g. the 8-vertex cube where every vertex is its own slab)."""
+    from softbodysim_tpu import Engine
+    from softbodysim_tpu.parallel import make_vertex_sharded_step
+
+    t = meshes.tet_cube(12, 4, 4, size=1.0, center=(0.0, 0.8, 0.0))
+    params = SolverParams(dialect="jacobi", substeps=1, iterations=3,
+                          use_pallas="off")
+    mesh = make_mesh(shape=(8,), axis_names=("model",))
+    step = make_vertex_sharded_step(t, params, mesh, halo="general")
+    assert step.halo_mode == "general"
+    st = step.build_state()
+    jstep = jax.jit(step)
+    ref = Engine(t, params)
+    for _ in range(10):
+        st = jstep(st, DT)
+        ref.step(DT)
+    np.testing.assert_allclose(step.unpad(st[0]), ref.positions(),
+                               atol=1e-5)
+
+
+def test_vertex_sharded_halo_off_matches_auto():
+    """halo='off' (legacy full gather) and 'auto' fetch identical neighbor
+    values -- trajectories agree to fp-reassociation noise."""
+    from softbodysim_tpu.parallel import make_vertex_sharded_step
+
+    t = meshes.tet_cube(12, 4, 4, size=1.0, center=(0.0, 0.8, 0.0))
+    params = SolverParams(dialect="jacobi", substeps=1, iterations=2,
+                          use_pallas="off")
+    mesh = make_mesh(shape=(8,), axis_names=("model",))
+    a = make_vertex_sharded_step(t, params, mesh, halo="auto")
+    b = make_vertex_sharded_step(t, params, mesh, halo="off")
+    assert b.halo_mode == "off"
+    sa, sb = a.build_state(), b.build_state()
+    ja, jb = jax.jit(a), jax.jit(b)
+    for _ in range(8):
+        sa = ja(sa, DT)
+        sb = jb(sb, DT)
+    np.testing.assert_allclose(a.unpad(sa[0]), b.unpad(sb[0]), atol=1e-6)
+
+
 def test_model_axis_4(topo):
     """Heavier model-axis split still matches."""
     params = SolverParams(dialect="jacobi", substeps=1, iterations=3)
