@@ -21,6 +21,12 @@ that were previously only in PLAN.md):
    87.8k particles / 687k constraints, real tet assets, BatchTest.unity
    tunings), merged-mesh execution on the jacobi Pallas passes
    (Scene.build_merged).  The reference implies 60 FPS interactive.
+5. **partitioned_mixed** (round 5): a mixed-DIALECT all-unique-mesh world
+   (20 unique bodies, 10 jacobi + 10 xpbd, ~118k particles / 1.16M
+   constraints) that the single merged program cannot express, executed
+   as TWO merged programs via Scene.build_partitioned -- the replacement
+   for the per-body loop's ~20x slow lane (measured 62.9 vs 4.5 steps/s,
+   PLAN.md round 5).
 
 Prints exactly one JSON line.
 """
@@ -193,6 +199,33 @@ def main():
     bt_sps = 2 * chunk / bt_best
     btopo_m = beng.topology
 
+    # --- 5. mixed-dialect unique-mesh world, partitioned execution --------
+    from softbodysim_tpu.api.scenes import Scene, _params
+
+    pm_bodies = []
+    px = SolverParams(dialect="xpbd", substeps=2, iterations=6)
+    for i in range(10):
+        t = meshes.tet_cube(11 + (i % 3), 11 + ((i + 1) % 2), 11, size=0.5,
+                            center=(i * 1.2 - 6.0, 1.0, -1.0))
+        pm_bodies.append(
+            (f"j{i}", t, _params(edge=0.5 + 0.04 * i, vol=1.0), {}))
+    for i in range(10):
+        t = meshes.tet_cube(20 + (i % 3), 20 + ((i + 1) % 2), 20, size=1.0,
+                            center=(i * 1.5 - 7.0, 1.2, 1.5))
+        pm_bodies.append((f"x{i}", t, px, {}))
+    pm = Scene(name="partitioned_mixed", colliders=[],
+               bodies=pm_bodies).build_partitioned(backend="pallas")
+    pm_v = sum(t.num_particles for _, t, _, _ in pm_bodies)
+    pm_c = sum(t.num_edges + t.num_tets for _, t, _, _ in pm_bodies)
+    pm_steps = 32                           # one RUN_CHUNK burst per engine
+    pm.run(pm_steps, dt)                    # compile + warm
+    pm_best = 1e30
+    for _ in range(3):                      # chunk windows, best of 3
+        t0 = time.perf_counter()
+        pm.run(pm_steps, dt)
+        pm_best = min(pm_best, time.perf_counter() - t0)
+    pm_sps = pm_steps / pm_best
+
     result = {
         "metric": "100k_particle_8substep_steps_per_sec",
         "value": float(f"{sps1:.4g}"),
@@ -232,6 +265,13 @@ def main():
                 "ms_per_step": round(bt_best / (2 * chunk) * 1e3, 2),
                 "steps_per_sec": round(bt_sps, 1),
                 "vs_60fps": float(f"{bt_sps / 60.0:.4g}"),
+            },
+            "partitioned_mixed_dialect": {
+                "bodies": 20, "programs": pm.num_programs, "V": pm_v,
+                "constraints": pm_c,
+                "ms_per_step": round(pm_best / pm_steps * 1e3, 2),
+                "steps_per_sec": round(pm_sps, 1),
+                "vs_60fps": float(f"{pm_sps / 60.0:.4g}"),
             },
             "device": str(jax.devices()[0]),
         },

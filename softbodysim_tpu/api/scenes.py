@@ -239,8 +239,11 @@ class PartitionedSceneEngine:
         return self
 
     def run(self, n: int, dt: float = 1.0 / 60.0):
-        for _ in range(n):
-            self.step(dt)
+        """Partitions don't interact, so each engine advances its full n
+        steps as async burst dispatches (Engine.run's RUN_CHUNK multi-step
+        programs) before any block -- minimal host dispatch overhead."""
+        for eng, _, _ in self.entries:
+            eng.run(n, dt)
         return self.block()
 
     def block(self) -> "PartitionedSceneEngine":
