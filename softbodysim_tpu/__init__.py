@@ -53,6 +53,7 @@ from .collide.primitives import Colliders
 from .solver import make_step
 from .api.dynamic import DynamicMergedWorld
 from .api.engine import Engine
+from .api.scenes import PartitionedSceneEngine, Scene
 from .api.world import World, Body
 from . import diff
 
@@ -61,5 +62,5 @@ __version__ = "0.1.0"
 __all__ = [
     "SimState", "SolverParams", "init_state", "Topology", "build_topology",
     "meshes", "Colliders", "make_step", "Engine", "World", "Body",
-    "DynamicMergedWorld", "diff",
+    "DynamicMergedWorld", "Scene", "PartitionedSceneEngine", "diff",
 ]
