@@ -112,6 +112,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.st_pack_fill.argtypes = [voidp, i32p, i32p, i32p, i64p, f32p]
         lib.st_pack_free.argtypes = [voidp]
 
+        if hasattr(lib, "st_permute_rows"):
+            lib.st_permute_rows.restype = None
+            lib.st_permute_rows.argtypes = [voidp, voidp, i64p, i64, i64]
+
         _lib = lib
         return _lib
 
@@ -146,6 +150,28 @@ def native_build_topology(vertices: np.ndarray, tets: np.ndarray):
         return edges, surface, ecol, tcol
     finally:
         lib.st_free(h)
+
+
+def native_permute_blocks(arr: np.ndarray,
+                          order: np.ndarray) -> Optional[np.ndarray]:
+    """``out[i] = arr[order[i]]`` along axis 0 as a straight per-block
+    memcpy (bit-identical to the numpy fancy-index gather, ~2-3x faster
+    on the multi-GB regroup_plan table permutes).  None if the lib is
+    unavailable or the input isn't C-contiguous-able cheaply."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "st_permute_rows"):
+        return None
+    a = np.ascontiguousarray(arr)
+    o = np.ascontiguousarray(order, np.int64)
+    nb = a.shape[0]
+    if nb == 0 or len(o) != nb:
+        return None
+    out = np.empty_like(a)
+    lib.st_permute_rows(
+        a.ctypes.data_as(ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p),
+        o, nb, a.nbytes // nb)
+    return out
 
 
 def native_orient(vertices: np.ndarray,

@@ -569,22 +569,27 @@ def regroup_plan(plan, *, max_groups: int = 3,
                             for ci in gorder])
     groups = tuple((len(members[ci]),) + corners[ci] for ci in gorder)
 
-    def pb(arr, rows):                 # permute block-major rows
-        return np.ascontiguousarray(
-            arr.reshape(nb, rows, *arr.shape[1:])[order].reshape(arr.shape))
+    from ..core import native as _native
 
-    perm = pb(plan.perm.reshape(nb * 8 * LANES, 1), 8 * LANES).reshape(-1)
+    def pb(arr):                       # permute block-major rows
+        blk = np.ascontiguousarray(arr).reshape(nb, -1)
+        out = _native.native_permute_blocks(blk, order)
+        if out is None:                # numpy fallback, bit-identical
+            out = blk[order]
+        return np.ascontiguousarray(out.reshape(arr.shape))
+
+    perm = pb(plan.perm).reshape(-1)
     pos_of = np.full_like(plan.pos_of, -1)
     valid = perm >= 0
     pos_of[perm[valid]] = np.flatnonzero(valid)
 
     return dataclasses.replace(
         plan,
-        slots=np.ascontiguousarray(plan.slots[order]),
-        rel=pb(plan.rel, a * 8),
-        inv=pb(plan.inv, S * D * 8),
-        rest=pb(plan.rest, 8),
-        scale=pb(plan.scale, 8),
+        slots=pb(plan.slots),
+        rel=pb(plan.rel),
+        inv=pb(plan.inv),
+        rest=pb(plan.rest),
+        scale=pb(plan.scale),
         perm=perm, pos_of=pos_of, groups=groups)
 
 

@@ -227,3 +227,21 @@ def test_tet_cube_vectorized_generation():
     topo = meshes.tet_cube(nx, ny, nz)
     want = orient_tets_positive(topo.vertices, np.asarray(tets, np.int64))
     np.testing.assert_array_equal(topo.tets.astype(np.int64), want)
+
+
+def test_native_permute_blocks_bit_identical():
+    """st_permute_rows == numpy fancy-index gather, any dtype/row shape
+    (the regroup_plan table-permute fast path)."""
+    from softbodysim_tpu.core import native
+
+    if not native.available():
+        import pytest
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(7)
+    for shape, dtype in (((37, 11 * 13), np.int32),
+                         ((16, 257), np.float32),
+                         ((8, 1), np.int64)):
+        a = (rng.standard_normal(shape) * 100).astype(dtype)
+        order = rng.permutation(shape[0])
+        out = native.native_permute_blocks(a, order)
+        np.testing.assert_array_equal(out, a[order])
