@@ -108,7 +108,8 @@ class _Family:
 
 
 def build_sharded_family(cons_pub, rest_pub, lcap, *, old2new, wd, D, vpad,
-                         layer_cap, interpret, kernel="xpbd"):
+                         layer_cap, interpret, kernel="xpbd",
+                         scheme=("scale", 1.0, 1)):
     """Per-device sub-plans + halo maps for one constraint family.
 
     Shared by the sharded XPBD sweeps and the sharded Jacobi passes
@@ -116,7 +117,18 @@ def build_sharded_family(cons_pub, rest_pub, lcap, *, old2new, wd, D, vpad,
     cross-device 1/k multiplicity into the per-lane dlambda scale and
     builds the sweep kernel; kernel="jacobi" builds the accumulator-only
     pass (apply=False -- the cnt-averaged apply happens on the local
-    shard after ghost accumulators are homed, so no scale is needed)."""
+    shard after ghost accumulators are homed, so no scale is needed).
+
+    ``scheme``: this family's (block scheme, omega, local_iters), xpbd
+    kernel only.  'split' is accepted ONLY at D=1 (it replaces the
+    per-lane dlambda scale, which at D>1 also carries the cross-device
+    1/k fold; within-block multiplicity counts would additionally need
+    cross-device folding) -- it exists so a one-device mesh runs the
+    SAME tuned dialect as the single-chip backend (the D=1 exactness
+    contract, tests/test_sharding_colliders.py)."""
+    sch, om, kk = scheme
+    if sch == "split" and D > 1:
+        raise ValueError("scheme='split' is single-device only (D=1)")
     cons = old2new[np.asarray(cons_pub, np.int64)]
     win = cons // LANES
     owner = win.min(axis=1) // wd
@@ -241,15 +253,24 @@ def build_sharded_family(cons_pub, rest_pub, lcap, *, old2new, wd, D, vpad,
     stack = lambda f: jnp.asarray(np.stack([f(p) for p in padded]))
     rep = padded[0]
     if kernel == "xpbd":
-        sweep = sw.make_sweep(rep, wd + gmax, interpret=interpret)
+        sweep = sw.make_sweep(rep, wd + gmax, interpret=interpret,
+                              scheme=sch, omega=om, local_iters=kk)
         atab = sweep.tables[5]
-        # all-ones count table: the sharded path runs the legacy scale
-        # scheme (the split scheme's cross-device multiplicity folding is
-        # not designed yet -- single-chip only for now)
+        if sch == "split":
+            # mass splitting (D=1 only, guard above): count tables inflate
+            # the streamed w fill and the per-lane scale becomes flat
+            # omega -- mirroring kernels/sweep._make_sweep_grouped
+            scale_f = lambda p: np.full_like(p.scale, np.float32(om))
+            cnt_f = sw.block_counts
+        else:
+            # legacy scale scheme: all-ones counts keep the w fill
+            # bit-identical; explicit omega multiplies the scale
+            scale_f = ((lambda p: p.scale * np.float32(om)) if om != 1.0
+                       else (lambda p: p.scale))
+            cnt_f = lambda p: np.ones_like(p.rel, np.float32)
         tables = (stack(lambda p: p.slots), stack(lambda p: p.rel),
                   stack(lambda p: p.inv), stack(lambda p: p.rest),
-                  stack(lambda p: p.scale), atab,
-                  stack(lambda p: np.ones_like(p.rel, np.float32)))
+                  stack(scale_f), atab, stack(cnt_f))
     else:
         from ..kernels.jacobi import make_jacobi_pass
 
@@ -297,17 +318,20 @@ def make_xpbd_pallas_sharded_step(topology, params: SolverParams,
         raise ValueError("sharded pallas path implements the xpbd dialect")
     from .xpbd_pallas import _resolve_block_scheme
 
-    fam_scheme = _resolve_block_scheme(params, sharded=True)
-    if any(f != ("scale", 1.0, 1) for f in fam_scheme.values()):
-        # blocks are window-split across devices here, so within-block
-        # multiplicity counts would need cross-device folding (not
-        # designed); 'auto' already resolves to scale on this path
+    D = mesh.shape[axis]
+    # At D=1 the sharded sweep IS the single-chip dialect, so 'auto'
+    # resolves to the same tuned split defaults as the single-device
+    # backend (the D=1 exactness contract); at D>1 blocks are
+    # window-split across devices, so within-block multiplicity counts
+    # would need cross-device folding (not designed) and 'auto' stays on
+    # the legacy scale scheme.
+    fam_scheme = _resolve_block_scheme(params, sharded=D > 1)
+    if D > 1 and any(f != ("scale", 1.0, 1) for f in fam_scheme.values()):
         raise ValueError(
             "xpbd_block_scheme='split' (and block omega/local_iters) are "
-            "single-device only; the window-sharded path runs the legacy "
-            "scale scheme (leave the xpbd_block_* knobs at defaults)")
-
-    D = mesh.shape[axis]
+            "single-device only; the window-sharded path at D>1 runs the "
+            "legacy scale scheme (leave the xpbd_block_* knobs at "
+            "defaults)")
     V = topology.num_particles
     has_edges = topology.num_edges > 0
     has_tets = topology.num_tets > 0
@@ -340,14 +364,15 @@ def make_xpbd_pallas_sharded_step(topology, params: SolverParams,
     vpad = nwin * LANES
 
     # ---- per-device constraint ownership + ghosts ------------------------
-    def _fam(cons, rest, lcap):
+    def _fam(cons, rest, lcap, fam_key):
         return build_sharded_family(
             cons, rest, lcap, old2new=old2new, wd=wd, D=D, vpad=vpad,
-            layer_cap=layer_cap, interpret=interpret, kernel="xpbd")
+            layer_cap=layer_cap, interpret=interpret, kernel="xpbd",
+            scheme=fam_scheme[fam_key])
 
-    efam = _fam(topology.edges, topology.edge_rest, 2) \
+    efam = _fam(topology.edges, topology.edge_rest, 2, "edge") \
         if has_edges else None
-    tfam = _fam(topology.tets, topology.tet_rest_vol, 3) \
+    tfam = _fam(topology.tets, topology.tet_rest_vol, 3, "tet") \
         if has_tets else None
 
     gravity = jnp.asarray(params.gravity, jnp.float32)
